@@ -1,0 +1,141 @@
+"""Elevation gather kernel — the Spark replacement for ``ST_Value``.
+
+``ST_Value(rast, geom)`` samples the pixel containing a point with no
+interpolation (reference ``server/api/querybuilder.py:218,286``): pixel
+index is ``ix = floor((x - ul_x)/px)``, ``iy = floor((ul_y - y)/px)``
+from the upper-left origin.  The index arithmetic happens **JVM-side**
+(plain Columns, see operators/point.py); this module only performs the
+final grid gather, which needs the decoded image payload and therefore
+runs in Arrow-vectorized pandas UDFs.
+
+Two physical strategies (picked like a join strategy):
+
+- ``broadcast`` — decode every tile once on the executors, collect the
+  (small) decoded grids to the driver, broadcast the dict, and gather
+  via ``mapInPandas`` with **zero shuffle**.  Right when the tile
+  working set fits in memory (the reference's whole-planet SRTM is
+  ~67 GB decoded; a queried region is far smaller).
+- ``cogroup`` — shuffle-free of driver memory: semi-join-prune the
+  images table to the touched tiles, then
+  ``points.groupBy(image_id).cogroup(images.groupBy(image_id))``
+  so each tile's bytes cross the wire **once** per task, not once per
+  point row.  This is the 10^12-image path: both sides hash-partition
+  on image_id, skew handled by AQE.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions import image_codec
+
+
+def _gather(grid: np.ndarray, ix: np.ndarray, iy: np.ndarray) -> np.ndarray:
+    """grid[iy, ix] with out-of-range → NaN (float64 result)."""
+    h, w = grid.shape
+    ok = (ix >= 0) & (ix < w) & (iy >= 0) & (iy < h)
+    out = np.full(len(ix), np.nan)
+    if ok.any():
+        out[ok] = grid[iy[ok], ix[ok]].astype(np.float64)
+    return out
+
+
+def _z_to_int32(vals: np.ndarray) -> pd.array:
+    return pd.array([None if np.isnan(v) else int(v) for v in vals], dtype="Int32")
+
+
+def gather_z_broadcast(df: DataFrame, images_df: DataFrame, z_col: str = "z") -> DataFrame:
+    """Broadcast-grid gather: no shuffle, one decode per tile.
+
+    ``df`` must carry ``image_id, ix, iy``; all columns pass through.
+    """
+    spark = df.sparkSession
+    # decode once, executor-side, ship compact raw16 row-major payloads
+    decoded = images_df.select("image_id", "bytes", "fmt", "w", "h").mapInPandas(
+        _decode_batches, schema="image_id string, grid binary, w int, h int"
+    ).collect()
+    grids = {
+        r["image_id"]: np.frombuffer(r["grid"], dtype="<i2").reshape(r["h"], r["w"])
+        for r in decoded
+    }
+    bc = spark.sparkContext.broadcast(grids)
+    out_schema = T.StructType(df.schema.fields + [T.StructField(z_col, T.IntegerType(), True)])
+
+    def gather(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        g = bc.value
+        for pdf in batches:
+            z = np.full(len(pdf), np.nan)
+            if len(pdf):
+                for img, sub in pdf.groupby("image_id", sort=False):
+                    grid = g.get(img)
+                    if grid is None:
+                        continue
+                    z[sub.index.to_numpy()] = _gather(
+                        grid, sub["ix"].to_numpy(np.int64), sub["iy"].to_numpy(np.int64)
+                    )
+            pdf = pdf.copy()
+            pdf[z_col] = _z_to_int32(z)
+            yield pdf
+
+    return df.mapInPandas(gather, schema=out_schema)
+
+
+def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        grids = [
+            image_codec.decode(b, f, int(w), int(h)).astype("<i2").tobytes()
+            for b, f, w, h in zip(pdf["bytes"], pdf["fmt"], pdf["w"], pdf["h"])
+        ]
+        yield pd.DataFrame(
+            {"image_id": pdf["image_id"], "grid": grids, "w": pdf["w"], "h": pdf["h"]}
+        )
+
+
+def gather_z_cogroup(df: DataFrame, images_df: DataFrame, z_col: str = "z") -> DataFrame:
+    """Cogrouped gather: tile bytes shuffle once per tile, scale path."""
+    # rename every image-side column: df may descend from images_df (the
+    # tile index does), which would otherwise trip Spark's
+    # ambiguous-self-join analysis on the semi-join and the cogroup
+    touched = df.select(F.col("image_id").alias("touched_id")).distinct()
+    imgs = images_df.select(
+        F.col("image_id").alias("img_id"),
+        F.col("bytes").alias("img_bytes"),
+        F.col("fmt").alias("img_fmt"),
+        F.col("w").alias("img_w"),
+        F.col("h").alias("img_h"),
+    )
+    pruned = imgs.join(touched, imgs["img_id"] == touched["touched_id"], "left_semi")
+    out_schema = T.StructType(df.schema.fields + [T.StructField(z_col, T.IntegerType(), True)])
+
+    def sample(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        out = left.copy()
+        if len(right) == 0 or len(left) == 0:
+            out[z_col] = pd.array([None] * len(left), dtype="Int32")
+            return out
+        r = right.iloc[0]
+        grid = image_codec.decode(r["img_bytes"], r["img_fmt"], int(r["img_w"]), int(r["img_h"]))
+        z = _gather(grid, left["ix"].to_numpy(np.int64), left["iy"].to_numpy(np.int64))
+        out[z_col] = _z_to_int32(z)
+        return out
+
+    return (
+        df.groupBy("image_id")
+        .cogroup(pruned.groupBy("img_id"))
+        .applyInPandas(sample, schema=out_schema)
+    )
+
+
+def gather_z(df: DataFrame, images_df: DataFrame, z_col: str = "z",
+             strategy: str = "broadcast") -> DataFrame:
+    if strategy == "broadcast":
+        return gather_z_broadcast(df, images_df, z_col)
+    if strategy == "cogroup":
+        return gather_z_cogroup(df, images_df, z_col)
+    raise ValueError(f"unknown gather strategy {strategy!r}")

@@ -1,0 +1,1 @@
+"""openelevationservice_spark — PySpark-native spatial-join + tiling engine."""
