@@ -1,0 +1,120 @@
+"""Color-polygon pipeline: elevation-band bucketing + grid dissolve.
+
+Reference (``server/api/querybuilder.py:56-102`` +
+``server/api/elevation_query_area_union.py:32-76``): fetch all pixel
+polygons, then **client-side** min/max/avg, 23-band bucketing
+
+    range_div   = (max - min + 1) / num_ranges
+    color_range = floor((height - min) / range_div)
+    height_base = ceil(color_range * range_div + min)
+
+and a shapely ``unary_union`` per band.  At continental polygons that
+pixel list explodes driver memory (SURVEY.md §3.3) — here the whole
+pipeline stays distributed: pixel rows → two-pass agg (G1) → JVM
+bucket columns (G2) → ``groupBy(poly, band).applyInPandas`` exact grid
+dissolve (G3).  Only the final FeatureCollection is collected.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..constants import NUM_RANGES, PX, WORLD_X0, WORLD_Y0
+from ..functions.dissolve import _signed_area2, dissolve_pixels
+from .polygon import polygon_pixels
+
+
+def polygon_stats(pixels_df: DataFrame) -> DataFrame:
+    """min/max/avg per polygon (reference ``querybuilder.py:84-88``)."""
+    return pixels_df.groupBy("poly_id").agg(
+        F.min("z").alias("min_z"),
+        F.max("z").alias("max_z"),
+        F.avg("z").alias("avg_z"),
+        F.count("*").alias("n_pixels"),
+    )
+
+
+def with_height_base(pixels_df: DataFrame, stats_df: DataFrame,
+                     num_ranges: int = NUM_RANGES) -> DataFrame:
+    """Exact reference band arithmetic as JVM columns (G2)."""
+    j = pixels_df.join(F.broadcast(stats_df.select("poly_id", "min_z", "max_z")), "poly_id")
+    range_div = (F.col("max_z") - F.col("min_z") + F.lit(1)) / F.lit(float(num_ranges))
+    color_range = F.floor((F.col("z") - F.col("min_z")) / range_div)
+    height_base = F.ceil(color_range * range_div + F.col("min_z"))
+    return j.withColumn("height_base", height_base.cast("long"))
+
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("poly_id", T.LongType()),
+        T.StructField("height_base", T.LongType()),
+        T.StructField("feature_idx", T.IntegerType()),
+        T.StructField("n_rings", T.IntegerType()),
+        T.StructField("area_px", T.DoubleType()),
+        T.StructField(
+            "rings",
+            T.ArrayType(T.ArrayType(T.StructType(
+                [T.StructField("x", T.DoubleType()), T.StructField("y", T.DoubleType())]
+            ))),
+        ),
+    ]
+)
+
+
+def _dissolve_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    poly_id = int(pdf["poly_id"].iloc[0])
+    hb = int(pdf["height_base"].iloc[0])
+    polys = dissolve_pixels(pdf["gx"].to_numpy(np.int64), pdf["gy"].to_numpy(np.int64))
+    rows = []
+    for i, rings in enumerate(polys):
+        deg_rings = [
+            [{"x": WORLD_X0 + gx * PX, "y": WORLD_Y0 - gy * PX} for gx, gy in ring]
+            for ring in rings
+        ]
+        area = sum(_signed_area2(r[:-1]) / 2.0 for r in rings)
+        rows.append({
+            "poly_id": poly_id,
+            "height_base": hb,
+            "feature_idx": i,
+            "n_rings": len(rings),
+            "area_px": float(area),
+            "rings": deg_rings,
+        })
+    return pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA.fields])
+
+
+def polygon_color_features(polygons_df: DataFrame, images_df: DataFrame,
+                           num_ranges: int = NUM_RANGES,
+                           index_strategy: str = "broadcast") -> DataFrame:
+    """Distributed equivalent of ``group_and_union_geometries``.
+
+    Returns one row per dissolved feature:
+    (poly_id, height_base, feature_idx, n_rings, area_px, rings).
+    """
+    pixels = polygon_pixels(polygons_df, images_df, index_strategy=index_strategy)
+    pixels.persist()
+    stats = polygon_stats(pixels)
+    banded = with_height_base(pixels, stats, num_ranges)
+    return (
+        banded.select("poly_id", "height_base", "gx", "gy")
+        .groupBy("poly_id", "height_base")
+        .applyInPandas(_dissolve_group, schema=FEATURE_SCHEMA)
+    )
+
+
+def feature_collection(features_pdf: pd.DataFrame) -> dict:
+    """Driver-side GeoJSON assembly (formatting layer, not distributed)."""
+    feats = []
+    for _, r in features_pdf.iterrows():
+        coords = [[[p["x"], p["y"]] for p in ring] for ring in r["rings"]]
+        feats.append({
+            "type": "Feature",
+            "geometry": {"type": "Polygon", "coordinates": coords},
+            "properties": {"heightBase": int(r["height_base"])},
+        })
+    return {"type": "FeatureCollection", "features": feats}

@@ -1,0 +1,152 @@
+"""Polygon elevation operators — pixel dump and pixel-polygon dump.
+
+Reference shapes:
+
+- ``polygon_elevation_sql`` (``server/api/querybuilder.py:105-165``)::
+
+      JOIN ST_Intersects → ST_Clip → ST_PixelAsCentroids
+      → WHERE ST_Covers(polygon, centroid) → ORDER BY x, y → (x, y, z)
+
+- ``PIXEL_POLYGONS_WITH_HEIGHT_QUERY``
+  (``server/api/elevation_query_area_union.py:7-30``)::
+
+      JOIN ST_Intersects → ST_Clip(…, -32768) → ST_PixelAsPolygons(…, False)
+      → WHERE val != -32768 → (pixel square, height)
+
+Both reduce to the same pixel set: *centroid covered by the polygon
+AND value != NODATA* (ST_Clip's default rasterization keeps
+centroid-inside pixels; ST_PixelAsCentroids skips NODATA; the color
+query filters NODATA explicitly).  The Spark plan:
+
+    polygon → bbox (Column arithmetic over the ring array)
+            → cover-cell explode (sequence × sequence, JVM)        [J3]
+            → equi-join tile index on cell_id                      [J3]
+            → mapInPandas: decode tile, centroid grid, vectorized
+              PIP filter, NODATA filter → pixel rows               [A2-A4, P2-P3]
+
+The per-(polygon, tile) explode is Spark's ``LATERAL
+ST_PixelAsPolygons`` equivalent (SURVEY.md §2.3 J5).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..constants import NODATA, PX, TILE_DEG, WORLD_X0, WORLD_Y0
+from ..functions import image_codec
+from ..functions.cells import linear_id_col
+from ..functions.geometry import points_in_ring, ring_to_arrays
+from ..sources.tiles import tile_index
+
+
+def polygons_with_bbox(polygons_df: DataFrame) -> DataFrame:
+    """bbox columns from the ring array — pure Column arithmetic."""
+    lons = F.transform("ring", lambda p: p["lon"])
+    lats = F.transform("ring", lambda p: p["lat"])
+    return (
+        polygons_df
+        .withColumn("min_x", F.array_min(lons))
+        .withColumn("max_x", F.array_max(lons))
+        .withColumn("min_y", F.array_min(lats))
+        .withColumn("max_y", F.array_max(lats))
+    )
+
+
+def polygon_tile_join(polygons_df: DataFrame, index_df: DataFrame,
+                      index_strategy: str = "broadcast") -> DataFrame:
+    """Polygon × tile join via cover-cell explode (SURVEY.md §2.3 J3)."""
+    p = polygons_with_bbox(polygons_df)
+    cx0 = F.floor((F.col("min_x") - F.lit(WORLD_X0)) / F.lit(TILE_DEG)).cast("long")
+    cx1 = F.floor((F.col("max_x") - F.lit(WORLD_X0)) / F.lit(TILE_DEG)).cast("long")
+    cy0 = F.floor((F.lit(WORLD_Y0) - F.col("max_y")) / F.lit(TILE_DEG)).cast("long")
+    cy1 = F.floor((F.lit(WORLD_Y0) - F.col("min_y")) / F.lit(TILE_DEG)).cast("long")
+    p = (
+        p.withColumn("cx", F.explode(F.sequence(cx0, cx1)))
+        .withColumn("cy", F.explode(F.sequence(cy0, cy1)))
+        .withColumn("cell_id", linear_id_col(F.col("cx"), F.col("cy")))
+    )
+    idx = index_df.select("cell_id", "image_id", "bytes", "fmt", "ul_x", "ul_y", "px", "w", "h")
+    if index_strategy == "broadcast":
+        idx = F.broadcast(idx)
+    return p.join(idx, "cell_id", "inner")
+
+
+PIXEL_SCHEMA = T.StructType(
+    [
+        T.StructField("poly_id", T.LongType()),
+        T.StructField("image_id", T.StringType()),
+        T.StructField("gx", T.LongType()),
+        T.StructField("gy", T.LongType()),
+        T.StructField("x", T.DoubleType()),
+        T.StructField("y", T.DoubleType()),
+        T.StructField("z", T.IntegerType()),
+    ]
+)
+
+
+def _pixel_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Per (polygon, tile) row → covered non-NODATA pixel rows."""
+    cols = [f.name for f in PIXEL_SCHEMA.fields]
+    for pdf in batches:
+        grid_cache: dict[str, np.ndarray] = {}
+        outs = []
+        for _, r in pdf.iterrows():
+            img = r["image_id"]
+            grid = grid_cache.get(img)
+            if grid is None:
+                grid = image_codec.decode(r["bytes"], r["fmt"], int(r["w"]), int(r["h"]))
+                grid_cache[img] = grid
+            h, w = grid.shape
+            ul_x, ul_y, px = r["ul_x"], r["ul_y"], r["px"]
+            jj, ii = np.meshgrid(np.arange(w), np.arange(h))
+            cx = ul_x + (jj + 0.5) * px          # centroid lon
+            cy = ul_y - (ii + 0.5) * px          # centroid lat
+            rx, ry = ring_to_arrays(r["ring"])
+            mask = points_in_ring(cx.ravel(), cy.ravel(), rx, ry).reshape(h, w)
+            mask &= grid != NODATA
+            if not mask.any():
+                continue
+            iy, ix = np.nonzero(mask)
+            tx = int(round((ul_x - WORLD_X0) / TILE_DEG))
+            ty = int(round((WORLD_Y0 - ul_y) / TILE_DEG))
+            outs.append(pd.DataFrame({
+                "poly_id": np.int64(r["poly_id"]),
+                "image_id": img,
+                "gx": tx * w + ix,
+                "gy": ty * h + iy,
+                "x": cx[iy, ix],
+                "y": cy[iy, ix],
+                "z": grid[iy, ix].astype(np.int32),
+            }))
+        yield (pd.concat(outs, ignore_index=True)[cols] if outs
+               else pd.DataFrame({c: [] for c in cols}))
+
+
+def polygon_pixels(polygons_df: DataFrame, images_df: DataFrame,
+                   index_strategy: str = "broadcast") -> DataFrame:
+    """Pixel rows covered by each polygon: (poly_id, image_id, gx, gy, x, y, z).
+
+    Matches the reference's centroid-dump semantics (z != NODATA,
+    centroid covered); ordering is applied by ``polygon_elevation``.
+    """
+    idx = tile_index(images_df, with_bytes=True)
+    j = polygon_tile_join(polygons_df.select("poly_id", "ring"), idx,
+                          index_strategy=index_strategy)
+    return j.mapInPandas(_pixel_rows, schema=PIXEL_SCHEMA)
+
+
+def polygon_elevation(polygons_df: DataFrame, images_df: DataFrame,
+                      index_strategy: str = "broadcast") -> DataFrame:
+    """(x, y, z) dump ordered by x, y (reference ``querybuilder.py:152``)."""
+    return (
+        polygon_pixels(polygons_df, images_df, index_strategy=index_strategy)
+        .select("poly_id", "x", "y", "z")
+        .orderBy("poly_id", "x", "y")
+    )

@@ -1,0 +1,70 @@
+import numpy as np
+
+from openelevationservice_spark.functions.dissolve import dissolve_area_px, dissolve_pixels
+from openelevationservice_spark.functions.geometry import points_in_ring, ring_to_arrays
+
+
+def test_pip_square_inclusive_boundary():
+    rx, ry = ring_to_arrays([(0, 0), (4, 0), (4, 4), (0, 4), (0, 0)])
+    px = np.array([2.0, 0.0, 4.0, 2.0, 5.0, -0.1, 2.0])
+    py = np.array([2.0, 2.0, 2.0, 0.0, 2.0, 2.0, 4.0])
+    got = points_in_ring(px, py, rx, ry)
+    assert got.tolist() == [True, True, True, True, False, False, True]
+
+
+def test_pip_concave():
+    # L-shape: unit squares (0,0) and (1,0) and (0,1)
+    ring = [(0, 0), (2, 0), (2, 1), (1, 1), (1, 2), (0, 2), (0, 0)]
+    rx, ry = ring_to_arrays(ring)
+    got = points_in_ring(
+        np.array([0.5, 1.5, 0.5, 1.5]), np.array([0.5, 0.5, 1.5, 1.5]), rx, ry
+    )
+    assert got.tolist() == [True, True, True, False]
+
+
+def test_pip_dict_ring():
+    rx, ry = ring_to_arrays([{"lon": 0, "lat": 0}, {"lon": 1, "lat": 0},
+                             {"lon": 1, "lat": 1}, {"lon": 0, "lat": 1},
+                             {"lon": 0, "lat": 0}])
+    assert points_in_ring(np.array([0.5]), np.array([0.5]), rx, ry)[0]
+
+
+def test_dissolve_single_pixel():
+    polys = dissolve_pixels(np.array([3]), np.array([7]))
+    assert len(polys) == 1
+    assert len(polys[0]) == 1  # no holes
+    shell = polys[0][0]
+    assert shell[0] == shell[-1]
+    assert set(shell[:-1]) == {(3, 7), (4, 7), (4, 8), (3, 8)}
+    assert dissolve_area_px(polys) == 1.0
+
+
+def test_dissolve_block_with_hole():
+    # 3x3 block minus center → 1 polygon, 1 hole, area 8
+    cells = [(x, y) for x in range(3) for y in range(3) if (x, y) != (1, 1)]
+    polys = dissolve_pixels(np.array([c[0] for c in cells]), np.array([c[1] for c in cells]))
+    assert len(polys) == 1
+    assert len(polys[0]) == 2  # shell + hole
+    assert dissolve_area_px(polys) == 8.0
+
+
+def test_dissolve_corner_touch_splits():
+    # two pixels sharing only a corner → two polygons
+    polys = dissolve_pixels(np.array([0, 1]), np.array([0, 1]))
+    assert len(polys) == 2
+    assert dissolve_area_px(polys) == 2.0
+
+
+def test_dissolve_two_regions():
+    polys = dissolve_pixels(np.array([0, 1, 5]), np.array([0, 0, 5]))
+    assert len(polys) == 2
+    assert dissolve_area_px(polys) == 3.0
+
+
+def test_dissolve_big_random_area_matches_count():
+    rng = np.random.default_rng(5)
+    pts = {(int(x), int(y)) for x, y in zip(rng.integers(0, 30, 300), rng.integers(0, 30, 300))}
+    gx = np.array([p[0] for p in pts])
+    gy = np.array([p[1] for p in pts])
+    polys = dissolve_pixels(gx, gy)
+    assert dissolve_area_px(polys) == float(len(pts))

@@ -1,0 +1,156 @@
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from openelevationservice_spark.constants import NODATA, NUM_RANGES, PX, TILE_DEG, WORLD_X0, WORLD_Y0
+from openelevationservice_spark.operators.color import (
+    feature_collection,
+    polygon_color_features,
+    polygon_stats,
+    with_height_base,
+)
+from openelevationservice_spark.operators.polygon import polygon_elevation, polygon_pixels
+from openelevationservice_spark.sources import fixtures as fx
+
+
+def bbox_ring(x0, y0, x1, y1):
+    return [
+        {"lon": x0, "lat": y0}, {"lon": x1, "lat": y0},
+        {"lon": x1, "lat": y1}, {"lon": x0, "lat": y1},
+        {"lon": x0, "lat": y0},
+    ]
+
+
+def oracle_bbox_pixels(x0, y0, x1, y1, world):
+    """All pixels with centroid covered by the bbox and z != NODATA."""
+    rows = []
+    gx0 = world.tx0 * 50
+    gy0 = world.ty0 * 50
+    for gy in range(gy0, gy0 + world.ny * 50):
+        cy = WORLD_Y0 - (gy + 0.5) * PX
+        if not (y0 <= cy <= y1):
+            continue
+        for gx in range(gx0, gx0 + world.nx * 50):
+            cx = WORLD_X0 + (gx + 0.5) * PX
+            if not (x0 <= cx <= x1):
+                continue
+            z = int(fx.z_field(np.array([gx]), np.array([gy]))[0])
+            if z != NODATA:
+                rows.append((gx, gy, cx, cy, z))
+    return rows
+
+
+@pytest.fixture(scope="module")
+def world():
+    return fx.World(nx=3, ny=3)
+
+
+@pytest.fixture(scope="module")
+def images(spark, world):
+    df = spark.createDataFrame(fx.make_images_pdf(world), schema=fx.IMAGES_SCHEMA)
+    df.persist()
+    df.count()
+    return df
+
+
+def test_polygon_pixels_match_oracle(spark, world, images):
+    # bbox spanning 4 tiles, like the gRPC AreaPointsElevation bbox requests
+    x0 = world.min_x + 0.6 * TILE_DEG
+    y0 = world.max_y - 1.7 * TILE_DEG
+    x1 = world.min_x + 1.8 * TILE_DEG
+    y1 = world.max_y - 0.4 * TILE_DEG
+    polys = spark.createDataFrame(
+        pd.DataFrame({"poly_id": [0], "ring": [bbox_ring(x0, y0, x1, y1)]}),
+        schema="poly_id long, ring array<struct<lon:double, lat:double>>",
+    )
+    got = polygon_pixels(polys, images).toPandas().sort_values(["gx", "gy"])
+    want = sorted(oracle_bbox_pixels(x0, y0, x1, y1, world))
+    assert len(got) == len(want)
+    assert list(zip(got.gx, got.gy, got.z)) == [(g[0], g[1], g[4]) for g in want]
+
+
+def test_polygon_elevation_ordered(spark, world, images):
+    x0 = world.min_x + 0.2 * TILE_DEG
+    y0 = world.max_y - 0.9 * TILE_DEG
+    polys = spark.createDataFrame(
+        pd.DataFrame({"poly_id": [0], "ring": [bbox_ring(x0, y0, x0 + 0.5 * TILE_DEG, y0 + 0.5 * TILE_DEG)]}),
+        schema="poly_id long, ring array<struct<lon:double, lat:double>>",
+    )
+    got = polygon_elevation(polys, images).toPandas()
+    xy = list(zip(got.x, got.y))
+    assert xy == sorted(xy)
+    assert len(got) > 0
+
+
+def test_triangle_polygon_subset_of_bbox(spark, world, images):
+    # non-rectangular ring exercises the real PIP path
+    x0 = world.min_x + 0.1 * TILE_DEG
+    y0 = world.max_y - 1.0 * TILE_DEG
+    tri = [
+        {"lon": x0, "lat": y0},
+        {"lon": x0 + TILE_DEG, "lat": y0},
+        {"lon": x0, "lat": y0 + TILE_DEG},
+        {"lon": x0, "lat": y0},
+    ]
+    schema = "poly_id long, ring array<struct<lon:double, lat:double>>"
+    tri_px = polygon_pixels(
+        spark.createDataFrame(pd.DataFrame({"poly_id": [0], "ring": [tri]}), schema=schema),
+        images).toPandas()
+    box_px = polygon_pixels(
+        spark.createDataFrame(
+            pd.DataFrame({"poly_id": [0], "ring": [bbox_ring(x0, y0, x0 + TILE_DEG, y0 + TILE_DEG)]}),
+            schema=schema),
+        images).toPandas()
+    tri_set = set(zip(tri_px.gx, tri_px.gy))
+    box_set = set(zip(box_px.gx, box_px.gy))
+    assert tri_set < box_set
+    assert 0.4 < len(tri_set) / len(box_set) < 0.6  # roughly half the box
+
+
+def test_empty_polygon_yields_no_rows(spark, world, images):
+    # fully outside coverage → reference raises 404 (querybuilder.py:80-81);
+    # engine equivalent: empty result
+    polys = spark.createDataFrame(
+        pd.DataFrame({"poly_id": [0], "ring": [bbox_ring(world.max_x + 1, 10, world.max_x + 2, 11)]}),
+        schema="poly_id long, ring array<struct<lon:double, lat:double>>",
+    )
+    assert polygon_pixels(polys, images).count() == 0
+
+
+def test_band_arithmetic_matches_reference(spark, world, images):
+    x0 = world.min_x + 0.3 * TILE_DEG
+    y0 = world.max_y - 1.5 * TILE_DEG
+    schema = "poly_id long, ring array<struct<lon:double, lat:double>>"
+    polys = spark.createDataFrame(
+        pd.DataFrame({"poly_id": [0], "ring": [bbox_ring(x0, y0, x0 + TILE_DEG, y0 + TILE_DEG)]}),
+        schema=schema)
+    px_df = polygon_pixels(polys, images)
+    stats = polygon_stats(px_df).toPandas()
+    banded = with_height_base(px_df, polygon_stats(px_df)).toPandas()
+
+    mn, mx = int(stats.min_z[0]), int(stats.max_z[0])
+    range_div = (mx - mn + 1) / NUM_RANGES
+    for _, r in banded.sample(n=min(200, len(banded)), random_state=0).iterrows():
+        color_range = math.floor((r.z - mn) / range_div)
+        assert r.height_base == math.ceil(color_range * range_div + mn)
+
+
+def test_color_features_cover_all_pixels(spark, world, images):
+    x0 = world.min_x + 0.3 * TILE_DEG
+    y0 = world.max_y - 1.5 * TILE_DEG
+    schema = "poly_id long, ring array<struct<lon:double, lat:double>>"
+    polys = spark.createDataFrame(
+        pd.DataFrame({"poly_id": [0], "ring": [bbox_ring(x0, y0, x0 + 0.7 * TILE_DEG, y0 + 0.7 * TILE_DEG)]}),
+        schema=schema)
+    feats = polygon_color_features(polys, images).toPandas()
+    n_px = polygon_pixels(polys, images).count()
+    assert feats["area_px"].sum() == n_px  # dissolve is exact: areas add up
+    fc = feature_collection(feats)
+    assert fc["type"] == "FeatureCollection"
+    assert all(f["properties"]["heightBase"] is not None for f in fc["features"])
+    # every band present in pixels appears as >=1 feature
+    banded = with_height_base(polygon_pixels(polys, images),
+                              polygon_stats(polygon_pixels(polys, images))).toPandas()
+    assert set(feats.height_base) == set(banded.height_base)
