@@ -1,0 +1,174 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Not part of the reference (a request/response elevation service), but
+first-class for the 100 TB engine: exact dedup, MinHash+LSH candidate
+generation, n-gram Jaccard verification, and SimHash — all pure
+DataFrame/Column expressions (JVM-side, whole-stage codegen; no Python
+in any hot path), each with an ANSI-SQL twin for the DuckDB oracle.
+
+Hash choice: md5 (available and bit-identical in Spark and DuckDB);
+MinHash uses *lexicographic min over seeded md5 hex strings*, which is
+a valid uniform min-wise family and makes the oracle trivially
+expressible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Hash-groupBy exact dedup: one row per distinct text.
+
+    Returns (text_hash, rep_id = min id, dup_count).  The groupBy is a
+    partial+final hash agg — no row ships its full text twice.
+    """
+    return (
+        df.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(F.min(id_col).alias("rep_id"), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+def word_shingles(text: Column, n: int) -> Column:
+    """Array of word n-gram shingles (single-space tokenization).
+
+    Matches DuckDB ``list_transform(generate_series(1, len(words)-n+1),
+    k -> array_to_string(words[k:k+n-1], ' '))`` exactly.
+    """
+    words = F.split(text, " ")
+    n_sh = F.size(words) - F.lit(n - 1)
+    seq = F.when(n_sh >= 1, F.sequence(F.lit(1), n_sh)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(seq, lambda k: F.concat_ws(" ", F.slice(words, k, n)))
+
+
+def minhash_signature(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                      n_hashes: int = 8, shingle_n: int = 3) -> DataFrame:
+    """(id, sig: array<string>) — per-doc MinHash signature.
+
+    sig[i] = min over distinct shingles of md5(i || ':' || shingle).
+    Explode + groupBy = one shuffle keyed by doc id; the B mins are
+    computed as B parallel partial aggregates (map-side combine).
+    """
+    sh = (
+        df.select(F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("sh"))
+        .distinct()
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    sig = sh.groupBy(id_col).agg(*aggs)
+    return sig.select(id_col, F.array(*[F.col(f"h{i}") for i in range(n_hashes)]).alias("sig"))
+
+
+def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                        n_hashes: int = 8, bands: int = 4, shingle_n: int = 3) -> DataFrame:
+    """MinHash-LSH candidate pairs (id_a < id_b) sharing >=1 band bucket.
+
+    shingle → minhash → band → bucket-join: docs hash-partition by
+    (band_idx, band_hash); the pair join happens *within buckets only*
+    (an equi-join, never a cross join).
+    """
+    rows_per_band = n_hashes // bands
+    sig = minhash_signature(df, id_col, text_col, n_hashes, shingle_n)
+    banded = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band_idx"),
+                    F.md5(F.concat_ws("|", *[
+                        F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)
+                    ])).alias("band_hash"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("band"),
+    ).select(id_col, "band.band_idx", "band.band_hash")
+    a = banded.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
+    b = banded.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")
+    return (
+        a.join(b, ["band_idx", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def ngram_jaccard(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", shingle_n: int = 3) -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate pairs.
+
+    Joins each side's *distinct shingle set* (array column) to the pair
+    list — two broadcast-or-shuffle equi-joins, then pure array math.
+    """
+    sets = df.select(
+        F.col(id_col),
+        F.array_distinct(word_shingles(F.col(text_col), shingle_n)).alias("sh_set"),
+    )
+    a = sets.select(F.col(id_col).alias("id_a"), F.col("sh_set").alias("sh_a"))
+    b = sets.select(F.col(id_col).alias("id_b"), F.col("sh_set").alias("sh_b"))
+    j = pairs.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return j.select(
+        "id_a", "id_b",
+        inter.alias("n_common"),
+        union.alias("n_union"),
+        F.when(union > 0, inter / union).otherwise(F.lit(0.0)).alias("jaccard"),
+    )
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+            bits: int = 16) -> DataFrame:
+    """Frequency-weighted SimHash over word hashes (default 16-bit).
+
+    word hash = int of the first 8 hex chars of md5 (same expression is
+    valid in DuckDB: ``('0x' || substr(md5(w), 1, 8))::bigint``).
+    """
+    words = df.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("w"))
+    h = F.conv(F.substring(F.md5(F.col("w")), 1, 8), 16, 10).cast("bigint")
+    words = words.withColumn("wh", h)
+    votes = [
+        F.sum(F.shiftright(F.col("wh"), b).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    agg = words.groupBy(id_col).agg(*votes)
+    sim = None
+    for b in range(bits):
+        bit = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sim = bit if sim is None else sim + bit
+    return agg.select(id_col, sim.cast("bigint").alias("simhash"))
+
+
+def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                       bits: int = 16, max_hamming: int = 2) -> DataFrame:
+    """Near-dup pairs by SimHash: block on half the bits, verify Hamming.
+
+    Two docs within Hamming distance <= bits/2 share at least one half
+    (pigeonhole), so blocking on each half is recall-complete for
+    ``max_hamming <= bits/2`` splits of 2 blocks.
+    """
+    half = bits // 2
+    s = simhash(df, id_col, text_col, bits)
+    blocked = s.select(
+        F.col(id_col), F.col("simhash"),
+        F.explode(F.array(
+            F.struct(F.lit(0).alias("blk"), (F.col("simhash") % (1 << half)).alias("key")),
+            F.struct(F.lit(1).alias("blk"), F.shiftright(F.col("simhash"), half).alias("key")),
+        )).alias("b"),
+    ).select(id_col, "simhash", "b.blk", "b.key")
+    a = blocked.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "blk", "key")
+    b = blocked.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "blk", "key")
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        a.join(b, ["blk", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

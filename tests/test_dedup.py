@@ -1,0 +1,85 @@
+import itertools
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from openelevationservice_spark.operators import dedup
+
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy dog"),          # exact dup of 0
+    (2, "the quick brown fox jumps over the lazy cat"),          # near dup
+    (3, "completely different text about spark engines here"),
+    (4, "another unrelated document mentioning nothing shared"),
+    (5, "the quick brown fox jumps over the lazy dog today"),    # near dup
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    df = spark.createDataFrame(pd.DataFrame(DOCS, columns=["doc_id", "text"]))
+    df.persist()
+    df.count()
+    return df
+
+
+def jaccard_py(a: str, b: str, n: int = 3) -> float:
+    def sh(s):
+        w = s.split(" ")
+        return {" ".join(w[i:i + n]) for i in range(len(w) - n + 1)}
+    A, B = sh(a), sh(b)
+    return len(A & B) / len(A | B) if A | B else 0.0
+
+
+def test_exact_dedup(spark, docs):
+    got = dedup.exact_dedup(docs).toPandas()
+    assert len(got) == 5  # 6 docs, one exact duplicate pair
+    dup_row = got[got.dup_count == 2]
+    assert len(dup_row) == 1 and dup_row.rep_id.iloc[0] == 0
+
+
+def test_word_shingles(spark):
+    df = spark.range(1).select(F.lit("a b c d").alias("t"))
+    got = df.select(dedup.word_shingles(F.col("t"), 3).alias("s")).collect()[0]["s"]
+    assert got == ["a b c", "b c d"]
+    short = df.select(dedup.word_shingles(F.lit("a b"), 3).alias("s")).collect()[0]["s"]
+    assert short == []
+
+
+def test_minhash_signature_identical_docs_equal(spark, docs):
+    sig = dedup.minhash_signature(docs).toPandas().set_index("doc_id")
+    assert list(sig.loc[0, "sig"]) == list(sig.loc[1, "sig"])
+    assert list(sig.loc[0, "sig"]) != list(sig.loc[3, "sig"])
+
+
+def test_lsh_finds_near_dups_not_unrelated(spark, docs):
+    pairs = dedup.lsh_candidate_pairs(docs, n_hashes=8, bands=8).toPandas()
+    got = set(zip(pairs.id_a, pairs.id_b))
+    assert (0, 1) in got           # exact dup always collides
+    # near-dups (high jaccard) should collide in >=1 of 8 single-row bands
+    assert (0, 2) in got or (0, 5) in got
+    assert (3, 4) not in got       # unrelated docs share no shingles
+
+
+def test_ngram_jaccard_matches_python(spark, docs):
+    all_pairs = spark.createDataFrame(
+        pd.DataFrame(list(itertools.combinations(range(6), 2)), columns=["id_a", "id_b"])
+    )
+    got = dedup.ngram_jaccard(docs, all_pairs).toPandas()
+    texts = dict(DOCS)
+    for _, r in got.iterrows():
+        assert r.jaccard == pytest.approx(jaccard_py(texts[r.id_a], texts[r.id_b]))
+    assert got[(got.id_a == 0) & (got.id_b == 1)].jaccard.iloc[0] == 1.0
+
+
+def test_simhash_near_pairs(spark, docs):
+    s = dedup.simhash(docs).toPandas().set_index("doc_id")["simhash"]
+    assert s[0] == s[1]  # identical docs → identical simhash
+    pairs = dedup.simhash_near_pairs(docs, max_hamming=4).toPandas()
+    got = set(zip(pairs.id_a, pairs.id_b))
+    assert (0, 1) in got
+    hm = pairs.set_index(["id_a", "id_b"])["hamming"]
+    assert hm[(0, 1)] == 0
