@@ -31,6 +31,8 @@ META_SCHEMA = T.StructType(
         T.StructField("h", T.IntegerType()),
         T.StructField("min_v", T.IntegerType()),
         T.StructField("max_v", T.IntegerType()),
+        T.StructField("sum_v", T.LongType()),
+        T.StructField("n_nodata", T.IntegerType()),
         T.StructField("mean_v", T.DoubleType()),
         T.StructField("phash", T.LongType()),
     ]
@@ -59,6 +61,8 @@ def image_metadata(images_df: DataFrame) -> DataFrame:
                     "image_id": r["image_id"], "fmt": r["fmt"],
                     "n_bytes": len(r["bytes"]), "w": int(r["w"]), "h": int(r["h"]),
                     "min_v": int(g.min()), "max_v": int(g.max()),
+                    "sum_v": int(g.astype(np.int64).sum()),
+                    "n_nodata": int((g == -32768).sum()),
                     "mean_v": float(g.mean()),
                     "phash": image_codec.phash64(g),
                 })

@@ -1,0 +1,74 @@
+"""Mini-driver: run every contract query against its DuckDB oracle at
+sf0.001, replicating the driver's compare (row count + schema width +
+order-insensitive values with columns sorted by name)."""
+
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+    return con
+
+
+def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf[sorted(pdf.columns)].copy()
+    for c in pdf.columns:
+        if pdf[c].dtype == object and len(pdf) and isinstance(pdf[c].iloc[0], (list, tuple)):
+            pdf[c] = pdf[c].map(lambda v: tuple(v))
+    return pdf.sort_values(list(pdf.columns)).reset_index(drop=True)
+
+
+def compare(name, spark_pdf, duck_pdf):
+    assert len(spark_pdf) == len(duck_pdf), (
+        f"{name}: row count {len(spark_pdf)} vs oracle {len(duck_pdf)}"
+    )
+    s = normalize(spark_pdf)
+    d = normalize(duck_pdf)
+    assert list(s.columns) == list(d.columns), f"{name}: columns {list(s.columns)} vs {list(d.columns)}"
+    for c in s.columns:
+        sv, dv = s[c], d[c]
+        if sv.dtype.kind == "f" or dv.dtype.kind == "f":
+            sa = sv.astype(float).to_numpy()
+            da = dv.astype(float).to_numpy()
+            both_nan = pd.isna(sa) & pd.isna(da)
+            eq = (sa == da) | both_nan
+            assert eq.all(), f"{name}.{c}: {int((~eq).sum())} float mismatches, e.g. {sa[~eq][:3]} vs {da[~eq][:3]}"
+        else:
+            sv = sv.astype(object).where(pd.notna(sv), None)
+            dv = dv.astype(object).where(pd.notna(dv), None)
+            neq = [i for i, (a, b) in enumerate(zip(sv, dv)) if a != b]
+            assert not neq, f"{name}.{c}: {len(neq)} mismatches, e.g. row {neq[0]}: {sv[neq[0]]!r} vs {dv[neq[0]]!r}"
+
+
+ALL = sorted(entry_mod.queries())
+
+
+@pytest.mark.parametrize("name", ALL)
+def test_query_vs_oracle(spark, duck, name):
+    q = entry_mod.queries()[name]
+    sql = entry_mod.oracle_sql().get(name)
+    assert sql is not None, f"{name} has no oracle"
+    spark_pdf = q(spark, SF_DIR).toPandas()
+    duck_pdf = duck.execute(sql).df()
+    assert len(spark_pdf) > 0, f"{name}: empty result"
+    compare(name, spark_pdf, duck_pdf)
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    n = df.count()
+    assert n > 0
+    assert "z" in df.columns
