@@ -1,0 +1,198 @@
+"""Benchmark: spatial-join replay (point + LineString elevation) at scale.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "rows_total": ...,
+   "tiles": ..., "rows_per_sec": ..., "cpus": ...}
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS  (default 32).
+
+The replay joins query tables derived from the TPC-H-ish parquet
+(lineitem → points, orders → 2-vertex lines, supplier → polygons)
+against a 1024-tile synthetic image world — the same operators the
+driver correctness-checks at sf0.01, at ~10x the row volume.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+from openelevationservice_spark.constants import PX
+from openelevationservice_spark.operators import dedup, similarity
+from openelevationservice_spark.operators.line import line_vertices_elevation
+from openelevationservice_spark.operators.multimodal import image_metadata
+from openelevationservice_spark.operators.point import point_elevation
+from openelevationservice_spark.operators.polygon import polygon_pixels
+from openelevationservice_spark.plans.session import build_session
+from openelevationservice_spark.sources import fixtures as fx
+
+BENCH_WORLD = fx.World(tx0=4636, ty0=1242, nx=32, ny=32)
+WPX = BENCH_WORLD.nx * 50
+X0 = BENCH_WORLD.min_x
+Y0 = BENCH_WORLD.max_y
+
+
+def _parts(spark) -> int:
+    # derived replay tables come from single small parquet files which
+    # Spark scans as ONE partition (maxPartitionBytes >> file size); at
+    # production scale they arrive pre-partitioned.  Repartition so the
+    # narrow join+gather chain actually uses the cluster.
+    return spark.sparkContext.defaultParallelism * 2
+
+
+POINT_REPLICAS = int(os.environ.get("OES_BENCH_POINT_REPLICAS", "8"))
+
+
+def _points_from_lineitem(spark, sf_dir):
+    # replicate each lineitem row into POINT_REPLICAS distinct query
+    # points so the replay is compute-dominated, not overhead-dominated
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .repartition(_parts(spark))
+          .withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(POINT_REPLICAS - 1)))))
+    gx = (F.col("l_orderkey") * 7919 + F.col("l_linenumber") * 104729
+          + F.col("rep") * 65537) % WPX
+    gy = (F.col("l_orderkey") * 13 + F.col("l_partkey") * 31
+          + F.col("rep") * 257) % WPX
+    return li.select(
+        (F.col("l_orderkey") * 100 + F.col("l_linenumber") * 10 + F.col("rep")).alias("point_id"),
+        (F.lit(X0) + (gx + F.lit(0.5)) * F.lit(PX)).alias("lon"),
+        (F.lit(Y0) - (gy + F.lit(0.5)) * F.lit(PX)).alias("lat"),
+    )
+
+
+def _lines_from_orders(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").repartition(_parts(spark))
+    g1x = (F.col("o_orderkey") * 7919) % WPX
+    g1y = (F.col("o_orderkey") * 104729) % WPX
+    g2x = F.greatest(F.lit(0), F.least(F.lit(WPX - 1), g1x + (F.col("o_orderkey") * 13) % 120 - 60))
+    g2y = F.greatest(F.lit(0), F.least(F.lit(WPX - 1), g1y + (F.col("o_orderkey") * 29) % 120 - 60))
+    return o.select(
+        F.col("o_orderkey").alias("line_id"),
+        (F.lit(X0) + (g1x + F.lit(0.5)) * F.lit(PX)).alias("x1"),
+        (F.lit(Y0) - (g1y + F.lit(0.5)) * F.lit(PX)).alias("y1"),
+        (F.lit(X0) + (g2x + F.lit(0.5)) * F.lit(PX)).alias("x2"),
+        (F.lit(Y0) - (g2y + F.lit(0.5)) * F.lit(PX)).alias("y2"),
+    )
+
+
+def _polygons_from_supplier(spark, sf_dir):
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet").repartition(_parts(spark))
+    gx0 = (F.col("s_suppkey") * 7919) % (WPX - 200)
+    gy0 = (F.col("s_suppkey") * 104729) % (WPX - 200)
+    w = F.lit(40) + F.col("s_suppkey") % 120
+    h = F.lit(40) + (F.col("s_suppkey") * 7) % 120
+    x0 = F.lit(X0) + gx0 * F.lit(PX)
+    x1 = F.lit(X0) + (gx0 + w) * F.lit(PX)
+    y1 = F.lit(Y0) - gy0 * F.lit(PX)
+    y0 = F.lit(Y0) - (gy0 + h) * F.lit(PX)
+    ring = F.array(
+        F.struct(x0.alias("lon"), y0.alias("lat")),
+        F.struct(x1.alias("lon"), y0.alias("lat")),
+        F.struct(x1.alias("lon"), y1.alias("lat")),
+        F.struct(x0.alias("lon"), y1.alias("lat")),
+        F.struct(x0.alias("lon"), y0.alias("lat")),
+    )
+    return s.select(F.col("s_suppkey").alias("poly_id"), ring.alias("ring"))
+
+
+def run_bench(spark, sf_dir: str) -> dict:
+    images = fx.make_images_df(spark, BENCH_WORLD)
+    images.persist()
+    n_tiles = images.count()
+    # decode the tile pixels ONCE into the broadcastable pixel index;
+    # every replay query samples JVM-side from it (operators/sample.py)
+    from openelevationservice_spark.operators.sample import pixel_index
+    pix = pixel_index(images)
+    pix.persist()
+    pix.count()
+
+    timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+
+    n_reps = int(os.environ.get("OES_BENCH_REPS", "3"))
+
+    def timed(name, df, agg_col="z"):
+        # median of n_reps timed executions — the sandbox host carries
+        # ambient load, single-shot timings are bimodal
+        samples = []
+        r = None
+        for _ in range(n_reps):
+            t0 = time.perf_counter()
+            r = df.agg(F.count(F.lit(1)).alias("n"), F.sum(agg_col).alias("chk")).collect()[0]
+            samples.append(time.perf_counter() - t0)
+        samples.sort()
+        timings[name] = samples[len(samples) // 2]
+        rows[name] = int(r["n"])
+        return int(r["chk"] or 0)
+
+    # warm-up: JVM + Arrow + python workers (excluded from timings)
+    point_elevation(_points_from_lineitem(spark, sf_dir).limit(1000), images).count()
+
+    timed("point_replay", point_elevation(_points_from_lineitem(spark, sf_dir), images,
+                                          pix_index_df=pix))
+    timed("line_replay", line_vertices_elevation(_lines_from_orders(spark, sf_dir), images,
+                                                 pix_index_df=pix))
+    timed("polygon_dump", polygon_pixels(_polygons_from_supplier(spark, sf_dir), images))
+
+    def timed_action(name, fn, n_rows=None):
+        samples, n = [], 0
+        for _ in range(n_reps):
+            t0 = time.perf_counter()
+            n = fn()
+            samples.append(time.perf_counter() - t0)
+        samples.sort()
+        timings[name] = samples[len(samples) // 2]
+        rows[name] = int(n_rows if n_rows is not None else n)
+
+    timed_action(
+        "tile_ingest_stats",
+        lambda: image_metadata(images).agg(F.sum("sum_v")).collect() and n_tiles,
+        n_rows=n_tiles,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(_parts(spark))
+    timed_action("minhash_lsh",
+                 lambda: dedup.lsh_candidate_pairs(docs, n_hashes=8, bands=4).count())
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(_parts(spark))
+    q = emb.filter(F.col("vec_id") < 8).select(F.col("vec_id").alias("q_id"),
+                                               F.col("embedding").alias("q_vec"))
+    timed_action("ann_topk", lambda: similarity.cosine_topk(emb, q, k=10).count())
+
+    total = sum(timings.values())
+    replay_rows = rows["point_replay"] + rows["line_replay"] + rows["polygon_dump"]
+    replay_sec = (timings["point_replay"] + timings["line_replay"]
+                  + timings["polygon_dump"])
+    return {
+        "metric": "spatial-join replay (point+line+polygon) wall time",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": sf_dir,
+        "tiles": n_tiles,
+        "rows": rows,
+        "rows_total": int(sum(rows.values())),
+        "replay_rows_per_sec": round((replay_rows + n_tiles) / replay_sec, 1),
+        "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 32)),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 32))
+    spark = build_session(app="oes-bench", cpus=cpus)
+    try:
+        result = run_bench(spark, sf_dir)
+    finally:
+        spark.stop()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

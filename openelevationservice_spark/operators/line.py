@@ -25,7 +25,7 @@ order by (dist, x, y) so output is total — documented deviation.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..constants import COORD_PRECISION, NODATA
@@ -34,89 +34,129 @@ from .point import join_tiles, with_pixel_indices
 from .sample import gather_z
 
 
+def _vertex_array() -> "F.Column":
+    """Per-line vertex array: endpoints ∪ interpolated, deduped, sorted.
+
+    The entire densify→union→DISTINCT→order pipeline of the reference
+    (``querybuilder.py:201-232``) folds into **per-row array
+    expressions** — ``sequence``/``transform`` generate, ``concat`` +
+    ``array_distinct`` dedupe, ``array_sort`` with a (dist, x, y)
+    comparator orders — so the logical plan has ZERO shuffles before
+    the tile join.  Correct because DISTINCT and ORDER BY in the
+    reference query are scoped to one line; per-line arrays are small
+    (the reference caps lines at maximum_nodes=2000 vertices).
+    """
+    dx = F.col("x2") - F.col("x1")
+    dy = F.col("y2") - F.col("y1")
+    line_len = F.sqrt(dx * dx + dy * dy)
+    frac = F.when(line_len == 0.0, F.lit(1.0)).otherwise(
+        F.least(F.lit(1.0), F.lit(COORD_PRECISION) / line_len)
+    )
+    n_interp = (
+        F.when(line_len == 0.0, F.lit(0))
+        .otherwise(F.floor(F.lit(1.0) / frac))
+        .cast("int")
+    )
+
+    def pt(x, y):
+        return F.struct(x.alias("x"), y.alias("y"))
+
+    def interp_pt(k):
+        t = k * frac
+        return pt(
+            F.when(t >= 1.0, F.col("x2")).otherwise(F.col("x1") + t * dx),
+            F.when(t >= 1.0, F.col("y2")).otherwise(F.col("y1") + t * dy),
+        )
+
+    ks = F.when(n_interp >= 1, F.sequence(F.lit(1), n_interp)).otherwise(
+        F.array().cast("array<int>")
+    )
+    verts = F.concat(
+        F.array(pt(F.col("x1"), F.col("y1")), pt(F.col("x2"), F.col("y2"))),
+        F.transform(ks, interp_pt),
+    )
+    verts = F.array_distinct(verts)
+
+    # order key: struct field order is the sort order for array_sort's
+    # NATURAL (codegen'd) ordering — (dist, x, y) structs sort exactly
+    # like the reference's ORDER BY distance-from-start with our (x, y)
+    # tie-break, no interpreted comparator lambda needed.  dist is a
+    # function of (x, y), so dedupe-before vs after is equivalent.
+    def with_dist(v):
+        ddx = v.getField("x") - F.col("x1")
+        ddy = v.getField("y") - F.col("y1")
+        return F.struct(
+            F.sqrt(ddx * ddx + ddy * ddy).alias("dist"),
+            v.getField("x").alias("x"),
+            v.getField("y").alias("y"),
+        )
+
+    return F.array_sort(F.transform(verts, with_dist))
+
+
 def densify_lines(lines_df: DataFrame) -> DataFrame:
     """(line_id, x1, y1, x2, y2) → distinct vertex rows (line_id, x, y, …).
 
     Exact ``min(1, coord_precision/lineLen)`` fraction semantics with
     bounds-based lineLen (reference ``querybuilder.py:197-209``);
     duplicate vertices removed like the reference's DISTINCT
-    (``:217``).  Zero-length lines yield their single point (the
-    degenerate case formatted as a POINT downstream,
-    reference ``views.py:63-68``).
+    (``:217``), ordered by distance-from-start with a (x, y)
+    tie-break, all inside per-line arrays (no shuffle).  ``seq`` is
+    1-based vertex order.  Zero-length lines yield their single point
+    (the degenerate case formatted as a POINT downstream, reference
+    ``views.py:63-68``).
     """
-    dx = F.col("x2") - F.col("x1")
-    dy = F.col("y2") - F.col("y1")
-    base = (
-        lines_df
-        .withColumn("line_len", F.sqrt(dx * dx + dy * dy))
-        .withColumn(
-            "frac",
-            F.when(F.col("line_len") == 0.0, F.lit(1.0)).otherwise(
-                F.least(F.lit(1.0), F.lit(COORD_PRECISION) / F.col("line_len"))
-            ),
-        )
-        .withColumn(
-            "n_interp",
-            F.when(F.col("line_len") == 0.0, F.lit(0))
-            .otherwise(F.floor(F.lit(1.0) / F.col("frac")))
-            .cast("int"),
-        )
-    )
-
-    endpoints = base.select(
+    v = lines_df.select(
         "line_id", "x1", "y1",
-        F.explode(
-            F.array(
-                F.struct(F.col("x1").alias("x"), F.col("y1").alias("y")),
-                F.struct(F.col("x2").alias("x"), F.col("y2").alias("y")),
-            )
-        ).alias("v"),
-    ).select("line_id", "x1", "y1", F.col("v.x").alias("x"), F.col("v.y").alias("y"))
-
-    ks = F.when(F.col("n_interp") >= 1, F.sequence(F.lit(1), F.col("n_interp"))).otherwise(
-        F.array().cast("array<int>")
+        F.posexplode(_vertex_array()).alias("pos", "v"),
     )
-    t = F.col("k") * F.col("frac")
-    interp = (
-        base.select("line_id", "x1", "y1", "x2", "y2", "frac", F.explode(ks).alias("k"))
-        .withColumn("t", t)
-        .select(
-            "line_id", "x1", "y1",
-            F.when(F.col("t") >= 1.0, F.col("x2"))
-            .otherwise(F.col("x1") + F.col("t") * (F.col("x2") - F.col("x1")))
-            .alias("x"),
-            F.when(F.col("t") >= 1.0, F.col("y2"))
-            .otherwise(F.col("y1") + F.col("t") * (F.col("y2") - F.col("y1")))
-            .alias("y"),
-        )
+    return v.select(
+        "line_id", "x1", "y1",
+        (F.col("pos") + 1).alias("seq"),
+        F.col("v.x").alias("x"),
+        F.col("v.y").alias("y"),
+        F.col("v.dist").alias("dist"),
     )
-
-    return endpoints.unionByName(interp).dropDuplicates(["line_id", "x", "y"])
 
 
 def line_vertices_elevation(lines_df: DataFrame, images_df: DataFrame,
                             how: str = "inner",
                             index_strategy: str = "broadcast",
-                            gather_strategy: str = "broadcast") -> DataFrame:
+                            gather_strategy: str = "jvm",
+                            grids_bc=None,
+                            pix_index_df: DataFrame | None = None) -> DataFrame:
     """Densified vertices with z and a deterministic order index ``seq``.
 
-    Output: (line_id, seq, x, y, z, dist, image_id, ix, iy).
+    Output: (line_id, seq, x, y, z, dist, image_id, ix, iy).  ``seq``
+    is assigned over the full deduped vertex set *before* the coverage
+    join, so under ``how='inner'`` out-of-coverage vertices leave gaps
+    in seq (order is unaffected; the reference emits survivors in the
+    same distance order).
     """
     verts = densify_lines(lines_df)
-    idx = tile_index(images_df)
-    j = join_tiles(verts, idx, how=how, index_strategy=index_strategy,
-                   lon="x", lat="y")
-    j = with_pixel_indices(j, lon="x", lat="y")
-    out = gather_z(j, images_df, strategy=gather_strategy)
-    ddx = F.col("x") - F.col("x1")
-    ddy = F.col("y") - F.col("y1")
-    out = out.withColumn("dist", F.sqrt(ddx * ddx + ddy * ddy))
-    w = Window.partitionBy("line_id").orderBy("dist", "x", "y")
+    if gather_strategy == "jvm":
+        from .sample import gather_z_jvm, pixel_index
+
+        idx = pix_index_df if pix_index_df is not None else pixel_index(images_df)
+        j = join_tiles(verts, idx, how=how, index_strategy=index_strategy,
+                       lon="x", lat="y", extra_cols=("pix",))
+        j = with_pixel_indices(j, lon="x", lat="y")
+        j = j.select("line_id", "seq", "x", "y", "dist",
+                     "image_id", "w", "h", "ix", "iy", "pix")
+        out = gather_z_jvm(j).drop("w", "h")
+    else:
+        idx = tile_index(images_df)
+        j = join_tiles(verts, idx, how=how, index_strategy=index_strategy,
+                       lon="x", lat="y")
+        j = with_pixel_indices(j, lon="x", lat="y")
+        # dist came with the vertex structs — prune the tile metadata so
+        # the Arrow batches stay narrow
+        j = j.select("line_id", "seq", "x", "y", "dist", "image_id", "ix", "iy")
+        out = gather_z(j, images_df, strategy=gather_strategy, grids_bc=grids_bc)
     z = F.when(F.col("image_id").isNotNull(),
                F.coalesce(F.col("z"), F.lit(NODATA))).otherwise(F.lit(None))
     return (
         out.withColumn("z", z.cast("int"))
-        .withColumn("seq", F.row_number().over(w))
         .select("line_id", "seq", "x", "y", "z", "dist", "image_id", "ix", "iy")
     )
 

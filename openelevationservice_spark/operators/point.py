@@ -44,10 +44,12 @@ def with_pixel_indices(df: DataFrame, lon: str = "lon", lat: str = "lat") -> Dat
 
 def join_tiles(points_df: DataFrame, index_df: DataFrame, how: str = "inner",
                index_strategy: str = "broadcast",
-               lon: str = "lon", lat: str = "lat") -> DataFrame:
+               lon: str = "lon", lat: str = "lat",
+               extra_cols: tuple[str, ...] = ()) -> DataFrame:
     """points × tile-index equi-join on cell_id (J1 in SURVEY.md §2.3)."""
     pts = points_df.withColumn("cell_id", cell_id_col(F.col(lon), F.col(lat)))
-    idx = index_df.select("cell_id", "image_id", "ul_x", "ul_y", "px", "w", "h")
+    idx = index_df.select("cell_id", "image_id", "ul_x", "ul_y", "px", "w", "h",
+                          *extra_cols)
     if index_strategy == "broadcast":
         idx = F.broadcast(idx)
     elif index_strategy != "shuffle":
@@ -58,20 +60,41 @@ def join_tiles(points_df: DataFrame, index_df: DataFrame, how: str = "inner",
 def point_elevation(points_df: DataFrame, images_df: DataFrame,
                     how: str = "inner",
                     index_strategy: str = "broadcast",
-                    gather_strategy: str = "broadcast",
-                    lon: str = "lon", lat: str = "lat") -> DataFrame:
+                    gather_strategy: str = "jvm",
+                    lon: str = "lon", lat: str = "lat",
+                    grids_bc=None, pix_index_df: DataFrame | None = None) -> DataFrame:
     """points (…, lon, lat) → (…, image_id, ix, iy, z).
 
     ``z`` is coalesced to NODATA (−32768) exactly like the reference's
     ``coalesce(ST_Value(...), -32768)`` (``querybuilder.py:296``) for
     points that hit a tile; points that hit no tile keep NULL z under
     ``how='left'`` (they are absent under ``how='inner'``).
+
+    gather strategies: ``jvm`` (default — decoded pixel arrays ride the
+    broadcast index, sampling is a codegen'd ``element_at``; no Python
+    in the hot path), ``broadcast`` (Arrow gather against a broadcast
+    grid dict), ``cogroup`` (the 10^12-image shuffle path).  Pass a
+    persisted ``pix_index_df`` (operators.sample.pixel_index) to reuse
+    decode work across queries.
     """
-    idx = tile_index(images_df)
-    j = join_tiles(points_df, idx, how=how, index_strategy=index_strategy,
-                   lon=lon, lat=lat)
-    j = with_pixel_indices(j, lon=lon, lat=lat)
-    out = gather_z(j, images_df, strategy=gather_strategy)
+    if gather_strategy == "jvm":
+        from .sample import gather_z_jvm, pixel_index
+
+        idx = pix_index_df if pix_index_df is not None else pixel_index(images_df)
+        j = join_tiles(points_df, idx, how=how, index_strategy=index_strategy,
+                       lon=lon, lat=lat, extra_cols=("pix",))
+        j = with_pixel_indices(j, lon=lon, lat=lat)
+        j = j.select(*points_df.columns, "image_id", "w", "h", "ix", "iy", "pix")
+        out = gather_z_jvm(j).drop("w", "h")
+    else:
+        idx = tile_index(images_df)
+        j = join_tiles(points_df, idx, how=how, index_strategy=index_strategy,
+                       lon=lon, lat=lat)
+        j = with_pixel_indices(j, lon=lon, lat=lat)
+        # prune tile metadata before the Arrow boundary — the gather only
+        # needs (image_id, ix, iy) plus the caller's columns
+        j = j.select(*points_df.columns, "image_id", "ix", "iy")
+        out = gather_z(j, images_df, strategy=gather_strategy, grids_bc=grids_bc)
     z = F.when(F.col("image_id").isNotNull(),
                F.coalesce(F.col("z"), F.lit(NODATA))).otherwise(F.lit(None))
     return out.withColumn("z", z.cast("int"))
