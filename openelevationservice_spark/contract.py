@@ -649,6 +649,297 @@ FROM events GROUP BY 1, 2
 
 
 # ===========================================================================
+# Q18. polyline codec round-trip — F1/F2 (byte-exact codec semantics)
+# ===========================================================================
+
+def q_polyline_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """encode→decode round-trip of 3-D polylines (precision 5, z/100).
+
+    Emits the decoded coordinates as quantized integers; the oracle is
+    the codec's quantization law ``_py2_round(v * factor)`` (reference
+    ``utils/codec.py:21-23,82,110``) applied to the same doubles —
+    byte-exact golden strings are pinned separately in
+    tests/test_polyline.py.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from .functions import polyline as pl
+
+    lines = _lines_df(spark, sf_dir).withColumn(
+        "z1", (F.col("line_id") % 3000).cast("double") * F.lit(0.01)
+    ).withColumn(
+        "z2", ((F.col("line_id") * 7) % 3000).cast("double") * F.lit(0.01)
+    )
+    schema = T.StructType([
+        T.StructField("line_id", T.LongType()),
+        T.StructField("pt_idx", T.LongType()),
+        T.StructField("lon_e5", T.LongType()),
+        T.StructField("lat_e5", T.LongType()),
+        T.StructField("z_e2", T.LongType()),
+    ])
+
+    def rt(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                coords = [(r.x1, r.y1, r.z1), (r.x2, r.y2, r.z2)]
+                dec = pl.decode(pl.encode(coords, 5, is3d=True), 5, is3d=True)
+                for i, (lon, lat, z) in enumerate(dec):
+                    rows.append({
+                        "line_id": int(r.line_id), "pt_idx": i,
+                        "lon_e5": int(round(lon * 1e5)),
+                        "lat_e5": int(round(lat * 1e5)),
+                        "z_e2": int(round(z * 100)),
+                    })
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return lines.mapInPandas(rt, schema=schema)
+
+
+def _sql_polyline_roundtrip() -> str:
+    # _py2_round for non-negative v: floor(v * factor + 0.5)
+    return f"""
+WITH lines AS ({_SQL_LINES}),
+z AS (
+  SELECT line_id, x1, y1, x2, y2,
+         CAST(line_id % 3000 AS DOUBLE) * CAST(0.01 AS DOUBLE) AS z1,
+         CAST((line_id * 7) % 3000 AS DOUBLE) * CAST(0.01 AS DOUBLE) AS z2
+  FROM lines
+)
+SELECT line_id, 0 AS pt_idx,
+       CAST(floor(x1 * 1e5 + 0.5) AS BIGINT) AS lon_e5,
+       CAST(floor(y1 * 1e5 + 0.5) AS BIGINT) AS lat_e5,
+       CAST(floor(z1 * 100 + 0.5) AS BIGINT) AS z_e2
+FROM z
+UNION ALL
+SELECT line_id, 1 AS pt_idx,
+       CAST(floor(x2 * 1e5 + 0.5) AS BIGINT),
+       CAST(floor(y2 * 1e5 + 0.5) AS BIGINT),
+       CAST(floor(z2 * 100 + 0.5) AS BIGINT)
+FROM z
+"""
+
+
+# ===========================================================================
+# Q19. image round-trip invariant — input_hint per-row invariant
+# ===========================================================================
+
+def q_image_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """decode→encode→decode PSNR≥40dB + phash + caption equality on every
+    tile image (both raw16 and png16 are lossless → exact).  The oracle
+    asserts the invariant holds for the full tile grid."""
+    from .operators.multimodal import roundtrip_invariant
+
+    out = roundtrip_invariant(_images(spark))
+    return out.select(
+        F.substring("image_id", 6, 5).cast("long").alias("tx"),
+        F.substring("image_id", 12, 5).cast("long").alias("ty"),
+        F.col("ok").cast("long").alias("ok"),
+        F.col("phash_match").cast("long").alias("phash_match"),
+        F.col("caption_ok").cast("long").alias("caption_ok"),
+    )
+
+
+_SQL_IMAGE_ROUNDTRIP = f"""
+SELECT tx.tx, ty.ty, CAST(1 AS BIGINT) AS ok, CAST(1 AS BIGINT) AS phash_match,
+       CAST(1 AS BIGINT) AS caption_ok
+FROM (SELECT unnest(generate_series({CW.tx0}, {CW.tx0 + CW.nx - 1})) AS tx) tx,
+     (SELECT unnest(generate_series({CW.ty0}, {CW.ty0 + CW.ny - 1})) AS ty) ty
+"""
+
+
+# ===========================================================================
+# Q20. block-mean resize — multimodal feature-extract path
+# ===========================================================================
+
+def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2x block-mean downsample (numpy, Arrow-batched) then re-decode;
+    emits every resized pixel.  int16 cast truncates toward zero —
+    mirrored by trunc() in the oracle."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from .operators.multimodal import _decode_any, resize
+
+    small = resize(_images(spark), factor=2)
+    schema = T.StructType([
+        T.StructField("tx", T.LongType()),
+        T.StructField("ty", T.LongType()),
+        T.StructField("i2", T.LongType()),
+        T.StructField("j2", T.LongType()),
+        T.StructField("z2", T.LongType()),
+    ])
+
+    def dump(batches):
+        import numpy as np
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples():
+                g = _decode_any(r.bytes, r.fmt, int(r.w), int(r.h))
+                tx, ty = int(r.image_id[5:10]), int(r.image_id[11:16])
+                ii, jj = np.meshgrid(np.arange(g.shape[0]), np.arange(g.shape[1]),
+                                     indexing="ij")
+                out.append(pd.DataFrame({
+                    "tx": tx, "ty": ty,
+                    "i2": ii.ravel().astype(np.int64),
+                    "j2": jj.ravel().astype(np.int64),
+                    "z2": g.ravel().astype(np.int64),
+                }))
+            yield (pd.concat(out, ignore_index=True) if out
+                   else pd.DataFrame(columns=[f.name for f in schema.fields]))
+
+    return small.mapInPandas(dump, schema=schema)
+
+
+def _sql_image_resize() -> str:
+    zs = [fx.z_sql_expr(f"(tx * 50 + j2 * 2 + {dx})", f"(ty * 50 + i2 * 2 + {dy})")
+          for dy in (0, 1) for dx in (0, 1)]
+    s = " + ".join(f"({z})" for z in zs)
+    return f"""
+WITH tiles AS (
+  SELECT tx.tx, ty.ty
+  FROM (SELECT unnest(generate_series({CW.tx0}, {CW.tx0 + CW.nx - 1})) AS tx) tx,
+       (SELECT unnest(generate_series({CW.ty0}, {CW.ty0 + CW.ny - 1})) AS ty) ty
+), px AS (
+  SELECT tx, ty, i2.o AS i2, j2.o AS j2
+  FROM tiles,
+       (SELECT unnest(generate_series(0, 24)) AS o) i2,
+       (SELECT unnest(generate_series(0, 24)) AS o) j2
+)
+SELECT tx, ty, i2, j2,
+       CAST(trunc(CAST({s} AS DOUBLE) / 4.0) AS BIGINT) AS z2
+FROM px
+"""
+
+
+# ===========================================================================
+# Q21. color dissolve — G3 (grid connected-components + ring tracing;
+# not SQL-expressible → rows-only driver check; exact unit oracles live
+# in tests/test_geometry_dissolve.py against hand-computed grids)
+# ===========================================================================
+
+def q_color_dissolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.color import polygon_color_features
+
+    polys = _polygons_df(spark, sf_dir)
+    feats = polygon_color_features(polys, _images(spark))
+    return feats.select(
+        "poly_id",
+        F.col("height_base").cast("long").alias("height_base"),
+        F.col("feature_idx").cast("long").alias("feature_idx"),
+        F.col("n_rings").cast("long").alias("n_rings"),
+        "area_px",
+    )
+
+
+# ===========================================================================
+# Q22. token stats — whitespace + BPE-ish regex token counting
+# ===========================================================================
+
+_TOKEN_RE = r"[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        textops.token_count(t).cast("long").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(t, F.lit(_TOKEN_RE), 0)).cast("long").alias("n_re_tokens"),
+        F.size(F.array_distinct(textops.tokens(t))).cast("long").alias("n_distinct"),
+    )
+
+
+_SQL_TOKEN_STATS = f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '{_TOKEN_RE}')) AS BIGINT) AS n_re_tokens,
+       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct
+FROM documents
+"""
+
+
+# ===========================================================================
+# Q23. embedding nearest-neighbor (cosine near-dup, brute-force baseline)
+# ===========================================================================
+
+def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every vector: its nearest other vector by cosine — the exact
+    brute-force baseline of embedding near-dup detection (the LSH scale
+    path is q_ann_lsh)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    out = similarity.cosine_topk(
+        emb,
+        emb.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")),
+        k=2,
+    )
+    # rank 1 is the vector itself (sim = 1); rank 2 is the true neighbor
+    return (
+        out.filter(F.col("vec_id") != F.col("q_id"))
+        .withColumn("r", F.row_number().over(
+            Window.partitionBy("q_id").orderBy(F.desc("sim"), "vec_id")))
+        .filter(F.col("r") == 1)
+        .select(F.col("q_id").alias("vec_id"), F.col("vec_id").alias("nn_id"),
+                F.round("sim", 6).alias("sim"))
+    )
+
+
+_SQL_EMBED_NEARDUP = """
+WITH n AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), s AS (
+  SELECT a.vec_id, b.vec_id AS nn_id,
+         list_reduce(list_transform(list_zip(a.e, b.e), p -> p[1] * p[2]), (x, y) -> x + y)
+         / (sqrt(list_reduce(list_transform(a.e, x -> x * x), (x, y) -> x + y))
+            * sqrt(list_reduce(list_transform(b.e, x -> x * x), (x, y) -> x + y))) AS sim
+  FROM n a JOIN n b ON a.vec_id != b.vec_id
+), r AS (
+  SELECT vec_id, nn_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, nn_id) AS rnk
+  FROM s)
+SELECT vec_id, nn_id, round(sim, 6) AS sim FROM r WHERE rnk = 1
+"""
+
+
+# ===========================================================================
+# Q24. LSH-bucketed approximate ANN — similarity scale path (random
+# hyperplanes from a seeded numpy RNG → not SQL-reproducible → rows-only)
+# ===========================================================================
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = similarity.lsh_ann_topk(emb, queries, k=3, n_planes=6, probe_bits=2)
+    return out.select("q_id", F.col("rank").cast("long").alias("rank"),
+                      "vec_id", F.round("sim", 6).alias("sim"))
+
+
+# ===========================================================================
+# Q25. SimHash near-dup pairs — blocked (pigeonhole-complete) join with
+# brute-force SQL oracle
+# ===========================================================================
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_near_pairs(
+        _read(spark, sf_dir, "documents"), bits=16, max_hamming=1
+    )
+
+
+def _sql_simhash_pairs() -> str:
+    return f"""
+WITH sh AS ({_sql_simhash()})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+"""
+
+
+# ===========================================================================
 # registry
 # ===========================================================================
 
@@ -669,6 +960,14 @@ QUERIES = {
     "fingerprint": q_fingerprint,
     "ann_topk": q_ann_topk,
     "event_windows": q_event_windows,
+    "polyline_roundtrip": q_polyline_roundtrip,
+    "image_roundtrip": q_image_roundtrip,
+    "image_resize": q_image_resize,
+    "color_dissolve": q_color_dissolve,
+    "token_stats": q_token_stats,
+    "embed_neardup": q_embed_neardup,
+    "ann_lsh": q_ann_lsh,
+    "simhash_pairs": q_simhash_pairs,
 }
 
 
@@ -690,4 +989,14 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": _SQL_FINGERPRINT,
         "ann_topk": _SQL_ANN_TOPK,
         "event_windows": _SQL_EVENT_WINDOWS,
+        "polyline_roundtrip": _sql_polyline_roundtrip(),
+        "image_roundtrip": _SQL_IMAGE_ROUNDTRIP,
+        "image_resize": _sql_image_resize(),
+        # color_dissolve: grid connected-component dissolve — not
+        # SQL-expressible; driver records the rows-only check and the
+        # exact oracle lives in tests/test_geometry_dissolve.py.
+        "token_stats": _SQL_TOKEN_STATS,
+        "embed_neardup": _SQL_EMBED_NEARDUP,
+        # ann_lsh: seeded-numpy random hyperplanes — rows-only.
+        "simhash_pairs": _sql_simhash_pairs(),
     }

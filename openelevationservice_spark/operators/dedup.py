@@ -147,20 +147,27 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
 
 def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                        bits: int = 16, max_hamming: int = 2) -> DataFrame:
-    """Near-dup pairs by SimHash: block on half the bits, verify Hamming.
+    """Near-dup pairs by SimHash: block on bit chunks, verify Hamming.
 
-    Two docs within Hamming distance <= bits/2 share at least one half
-    (pigeonhole), so blocking on each half is recall-complete for
-    ``max_hamming <= bits/2`` splits of 2 blocks.
+    The signature is split into ``max_hamming + 1`` contiguous bit
+    blocks; by pigeonhole, two signatures within Hamming distance
+    ``max_hamming`` agree exactly on at least one block, so the
+    block-equi-join is recall-complete (no missed pairs) while keeping
+    the candidate set ~ n^2 / 2^(bits/(h+1)) per block — never an
+    all-pairs cross join.
     """
-    half = bits // 2
+    n_blocks = max_hamming + 1
+    # contiguous blocks of floor/ceil(bits/n_blocks) bits covering all bits
+    bounds = [round(i * bits / n_blocks) for i in range(n_blocks + 1)]
     s = simhash(df, id_col, text_col, bits)
+    blocks = []
+    for i in range(n_blocks):
+        lo, hi = bounds[i], bounds[i + 1]
+        key = F.shiftright(F.col("simhash"), lo).bitwiseAND(F.lit((1 << (hi - lo)) - 1))
+        blocks.append(F.struct(F.lit(i).alias("blk"), key.alias("key")))
     blocked = s.select(
         F.col(id_col), F.col("simhash"),
-        F.explode(F.array(
-            F.struct(F.lit(0).alias("blk"), (F.col("simhash") % (1 << half)).alias("key")),
-            F.struct(F.lit(1).alias("blk"), F.shiftright(F.col("simhash"), half).alias("key")),
-        )).alias("b"),
+        F.explode(F.array(*blocks)).alias("b"),
     ).select(id_col, "simhash", "b.blk", "b.key")
     a = blocked.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "blk", "key")
     b = blocked.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "blk", "key")

