@@ -918,6 +918,20 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "vec_id", F.round("sim", 6).alias("sim"))
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer ANN (numpy k-means centroids → inverted-list
+    equi-join, nprobe=4/8 lists).  Approximate + driver-side-trained
+    quantizer → rows-only; exactness at full probe is unit-tested in
+    tests/test_similarity.py."""
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = similarity.ivf_topk(emb, queries, k=3, n_centroids=8, nprobe=4)
+    return out.select("q_id", F.col("rank").cast("long").alias("rank"),
+                      "vec_id", F.round("sim", 6).alias("sim"))
+
+
 # ===========================================================================
 # Q25. SimHash near-dup pairs — blocked (pigeonhole-complete) join with
 # brute-force SQL oracle
@@ -967,6 +981,7 @@ QUERIES = {
     "token_stats": q_token_stats,
     "embed_neardup": q_embed_neardup,
     "ann_lsh": q_ann_lsh,
+    "ann_ivf": q_ann_ivf,
     "simhash_pairs": q_simhash_pairs,
 }
 

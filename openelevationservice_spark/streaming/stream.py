@@ -58,3 +58,43 @@ def windowed_query_counts(points_stream: DataFrame, window: str = "10 seconds",
         .agg(F.count(F.lit(1)).alias("n_queries"))
         .select(F.col("window.start").alias("win_start"), "n_queries")
     )
+
+
+HOT_CELL_OUTPUT = "cell_id bigint, n_queries bigint, hot boolean"
+HOT_CELL_STATE = "n bigint"
+
+
+def hot_cell_monitor(points_stream: DataFrame, threshold: int = 100) -> DataFrame:
+    """Custom stateful operator: running per-cell query counts.
+
+    ``applyInPandasWithState`` keyed by ``cell_id`` — the state (a
+    running hit count per cell) persists across micro-batches in the
+    state store.  Cells crossing ``threshold`` are flagged ``hot``;
+    downstream this feeds the salting decision for skewed tiles
+    (plans/exec.py): a cell flagged hot in the monitor is exactly the
+    cell whose equi-join key needs salt at replay time.
+
+    The reference has no streaming surface at all (SURVEY.md §2.9) —
+    this is part of the engine's scale story, not parity.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    import pandas as pd
+
+    def update(key, pdfs, state):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame(
+            {"cell_id": [key[0]], "n_queries": [n], "hot": [n >= threshold]}
+        )
+
+    pts = points_stream.withColumn("cell_id", cell_id_col(F.col("lon"), F.col("lat")))
+    return pts.groupBy("cell_id").applyInPandasWithState(
+        update,
+        outputStructType=HOT_CELL_OUTPUT,
+        stateStructType=HOT_CELL_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

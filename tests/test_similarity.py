@@ -70,3 +70,39 @@ def test_lsh_recall_reasonable(spark, corpus, corpus_pdf):
         got = set(approx[approx.q_id == q].vec_id)
         hits += len(want & got)
     assert hits / (3 * len(qids)) >= 0.5  # recall@3 over half with 4 planes + probes
+
+
+def test_ivf_full_probe_is_exact(spark, corpus, corpus_pdf):
+    """nprobe == n_centroids degenerates to exact brute force."""
+    queries = spark.createDataFrame(
+        pd.DataFrame({"q_id": [0, 1], "q_vec": [corpus_pdf["embedding"][5],
+                                                corpus_pdf["embedding"][17]]}),
+        schema="q_id long, q_vec array<float>",
+    )
+    got = sim.ivf_topk(corpus, queries, k=5, n_centroids=8, nprobe=8).toPandas()
+    exact = sim.cosine_topk(corpus, queries, k=5).toPandas()
+    g = got.sort_values(["q_id", "rank"]).reset_index(drop=True)
+    e = exact.sort_values(["q_id", "rank"]).reset_index(drop=True)
+    assert (g.vec_id == e.vec_id).all()
+    assert np.allclose(g.sim, e.sim)
+
+
+def test_ivf_partial_probe_recall(spark, corpus, corpus_pdf):
+    """nprobe=4/8 lists: top-1 must survive (the nearest neighbor's list
+    is probed with overwhelming odds on this data), top-5 recall >= 0.6."""
+    qs = [5, 17, 42, 99, 123]
+    queries = spark.createDataFrame(
+        pd.DataFrame({"q_id": list(range(len(qs))),
+                      "q_vec": [corpus_pdf["embedding"][i] for i in qs]}),
+        schema="q_id long, q_vec array<float>",
+    )
+    got = sim.ivf_topk(corpus, queries, k=5, n_centroids=8, nprobe=4).toPandas()
+    hits = total = top1 = 0
+    for qi, src in enumerate(qs):
+        truth = numpy_topk(corpus_pdf, corpus_pdf["embedding"][src], 5)
+        mine = got[got.q_id == qi].sort_values("rank").vec_id.tolist()
+        top1 += mine[0] == truth[0]
+        hits += len(set(mine) & set(truth))
+        total += 5
+    assert top1 == len(qs)
+    assert hits / total >= 0.6

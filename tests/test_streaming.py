@@ -52,6 +52,46 @@ def test_streaming_point_elevation(spark, tmp_path, world):
     assert (m.z_s == m.z_b).all()
 
 
+def test_hot_cell_monitor_state_across_batches(spark, tmp_path, world):
+    """applyInPandasWithState: counts must ACCUMULATE across micro-batches
+    (proves state-store persistence, not per-batch aggregation)."""
+    from openelevationservice_spark.streaming.stream import hot_cell_monitor
+
+    src = tmp_path / "pts3"
+    src.mkdir()
+    lon = (world.min_x + world.max_x) / 2  # all points in one cell
+    lat = (world.min_y + world.max_y) / 2
+
+    def batch_pdf(start, n):
+        return pd.DataFrame({
+            "point_id": np.arange(start, start + n, dtype=np.int64),
+            "lon": np.full(n, lon), "lat": np.full(n, lat),
+            "ts": pd.to_datetime("2024-01-01") + pd.to_timedelta(np.arange(n), unit="s"),
+        })
+
+    spark.createDataFrame(batch_pdf(0, 7), schema=POINTS_STREAM_SCHEMA) \
+        .write.parquet(str(src / "b0"))
+    stream = spark.readStream.schema(POINTS_STREAM_SCHEMA) \
+        .option("maxFilesPerTrigger", "100").parquet(str(src) + "/*")
+    out = hot_cell_monitor(stream, threshold=10)
+    q = (out.writeStream.outputMode("update").format("memory")
+         .queryName("hot_cells").start())
+    try:
+        q.processAllAvailable()
+        first = spark.sql("select * from hot_cells").toPandas()
+        assert first.n_queries.max() == 7
+        assert not first.hot.any()
+        spark.createDataFrame(batch_pdf(7, 5), schema=POINTS_STREAM_SCHEMA) \
+            .write.parquet(str(src / "b1"))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("select * from hot_cells").toPandas()
+    # update-mode memory sink appends update rows: last emit = 7 + 5 = 12
+    assert got.n_queries.max() == 12
+    assert got[got.n_queries == 12].hot.all()
+
+
 def test_windowed_counts(spark, tmp_path, world):
     src = tmp_path / "pts2"
     _write_points(spark, src, world, n=30)
