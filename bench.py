@@ -115,11 +115,12 @@ def run_bench(spark, sf_dir: str) -> dict:
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
 
-    n_reps = int(os.environ.get("OES_BENCH_REPS", "3"))
+    n_reps = int(os.environ.get("OES_BENCH_REPS", "5"))
 
     def timed(name, df, agg_col="z"):
-        # median of n_reps timed executions — the sandbox host carries
-        # ambient load, single-shot timings are bimodal
+        # median of n_reps timed executions (default 5) — the sandbox
+        # host carries ambient co-tenant load, single-shot timings are
+        # bimodal with 2-4x outliers
         samples = []
         r = None
         for _ in range(n_reps):
