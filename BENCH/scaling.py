@@ -21,11 +21,27 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parents[1]
 
 
+# High-volume replay for the scaling measurement: per-action fixed costs
+# (job scheduling, broadcast-relation build, AQE planning) are constant
+# in core count, so at default volumes they dominate wall time and mask
+# the engine's parallel scaling.  These multipliers raise the parallel
+# work until it dominates (point: 307M joined rows/run), which is also
+# the regime the 10^12-image rule is about.  Line and polygon are
+# already parallel-dominated at x1 (30s+ at local[2]).
+SCALE_ENV = {
+    "OES_BENCH_POINT_REPLICAS": os.environ.get("OES_SCALE_POINT", "256"),
+    "OES_BENCH_LINE_REPLICAS": os.environ.get("OES_SCALE_LINE", "1"),
+    "OES_BENCH_POLY_REPLICAS": os.environ.get("OES_SCALE_POLY", "1"),
+    "OES_BENCH_REPS": os.environ.get("OES_SCALE_REPS", "3"),
+}
+
+
 def run_once(cpus: int, sf: str) -> dict:
-    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=sf)
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=sf,
+               **SCALE_ENV)
     out = subprocess.run(
         [sys.executable, str(REPO / "bench.py")],
-        env=env, capture_output=True, text=True, timeout=1800, check=True,
+        env=env, capture_output=True, text=True, timeout=3000, check=True,
     )
     r = json.loads(out.stdout.strip().splitlines()[-1])
     print(f"  local[{cpus}]: {r['value']}s, {r['replay_rows_per_sec']} rows/s",
@@ -83,12 +99,20 @@ def main() -> None:
 Protocol (BASELINE.md): identical job + identical input
 (`{args.sf}`) at `local[{n_small}]` vs `local[{4 * n_small}]` as the sandbox
 proxy for N vs 4N executors; bench.py runs one warm-up query (excluded),
-each query is the median of 3 in-session executions; levels are run
-INTERLEAVED (N, 4N, N, 4N, ...) and each level reports its best of
-{args.runs} runs — the host carries ambient co-tenant load (verified:
-identical bench invocations vary 2-3x minutes apart while in-session
-reps stay stable), so best-of is the least-contaminated sample.
-Shuffle partitions scale with core count (2x cores, plans/session.py).
+each query is the median of {SCALE_ENV["OES_BENCH_REPS"]} executions, and every
+rep REBUILDS its DataFrame plan (fresh lineage - no cross-rep shuffle or
+broadcast reuse).  Replay volume is raised for this measurement
+(point x{SCALE_ENV["OES_BENCH_POINT_REPLICAS"]}, line x{SCALE_ENV["OES_BENCH_LINE_REPLICAS"]}, polygon x{SCALE_ENV["OES_BENCH_POLY_REPLICAS"]} replicas) so parallel work
+dominates per-action fixed costs (scheduling, broadcast build) that are
+constant in core count; source tables are column-pruned, repartitioned
+proportional to cores and cached (single ~10MB parquet files would otherwise
+serialize every query on their one-task scan - a small-file artifact, not
+an engine property).  Levels are run INTERLEAVED (N, 4N, N, 4N, ...) and
+each level reports its best of {args.runs} runs - the host carries ambient
+co-tenant load (verified: identical bench invocations vary 2-3x minutes
+apart while in-session reps stay stable), so best-of is the
+least-contaminated sample.  Shuffle partitions scale with core count
+(2x cores, plans/session.py).
 
 N choice rationale (measured pure-CPU multiprocessing control on this
 host): 2->8 workers scales at 0.90 efficiency (10.3 -> 37.1 tasks/s),

@@ -6,12 +6,28 @@ Prints ONE JSON line:
    "tiles": ..., "rows_per_sec": ..., "cpus": ...}
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
-     SPARK_GRAFT_CPUS  (default 32).
+     SPARK_GRAFT_CPUS  (default 32),
+     OES_BENCH_REPS (timed reps per query, default 5),
+     OES_BENCH_POINT_REPLICAS / OES_BENCH_LINE_REPLICAS /
+     OES_BENCH_POLY_REPLICAS (replay volume multipliers; the scaling
+     harness raises them so parallel work dominates fixed per-action
+     costs — see BENCH/BASELINE.md).
 
 The replay joins query tables derived from the TPC-H-ish parquet
 (lineitem → points, orders → 2-vertex lines, supplier → polygons)
 against a 1024-tile synthetic image world — the same operators the
-driver correctness-checks at sf0.01, at ~10x the row volume.
+driver correctness-checks at sf0.01, at much larger row volume.
+
+Methodology notes:
+- Source tables are SELECT-pruned, repartitioned ∝ cores, and cached
+  once before timing: the driver tables are single ~10 MB parquet files
+  whose one-task scan would serialize every query (at production scale
+  the scan parallelism comes from having many files); the benchmark
+  measures the engine's join/densify/dump operators, not single-file
+  scan speed.
+- Each timed rep rebuilds the DataFrame plan from scratch (fresh RDD
+  lineage) so Spark cannot silently reuse prior shuffle or broadcast
+  results across reps.
 """
 
 from __future__ import annotations
@@ -37,43 +53,53 @@ WPX = BENCH_WORLD.nx * 50
 X0 = BENCH_WORLD.min_x
 Y0 = BENCH_WORLD.max_y
 
+POINT_REPLICAS = int(os.environ.get("OES_BENCH_POINT_REPLICAS", "8"))
+LINE_REPLICAS = int(os.environ.get("OES_BENCH_LINE_REPLICAS", "1"))
+POLY_REPLICAS = int(os.environ.get("OES_BENCH_POLY_REPLICAS", "1"))
+
 
 def _parts(spark) -> int:
-    # derived replay tables come from single small parquet files which
-    # Spark scans as ONE partition (maxPartitionBytes >> file size); at
-    # production scale they arrive pre-partitioned.  Repartition so the
-    # narrow join+gather chain actually uses the cluster.
     return spark.sparkContext.defaultParallelism * 2
 
 
-POINT_REPLICAS = int(os.environ.get("OES_BENCH_POINT_REPLICAS", "8"))
+def _cached(spark, sf_dir, table, cols):
+    """Pruned, pre-partitioned, persisted source (see module docstring)."""
+    df = (spark.read.parquet(f"{sf_dir}/{table}.parquet")
+          .select(*cols).repartition(_parts(spark)))
+    df.persist()
+    df.count()
+    return df
 
 
-def _points_from_lineitem(spark, sf_dir):
-    # replicate each lineitem row into POINT_REPLICAS distinct query
-    # points so the replay is compute-dominated, not overhead-dominated
-    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-          .repartition(_parts(spark))
-          .withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(POINT_REPLICAS - 1)))))
+def _points_from_lineitem(li):
+    """One query point per (lineitem row, replica) — compute-dominated
+    replay; the explode runs inside the cached partitioning (no
+    shuffle anywhere in the per-rep plan)."""
+    pts = li.withColumn(
+        "rep", F.explode(F.sequence(F.lit(0), F.lit(POINT_REPLICAS - 1)))
+    )
     gx = (F.col("l_orderkey") * 7919 + F.col("l_linenumber") * 104729
           + F.col("rep") * 65537) % WPX
     gy = (F.col("l_orderkey") * 13 + F.col("l_partkey") * 31
           + F.col("rep") * 257) % WPX
-    return li.select(
+    return pts.select(
         (F.col("l_orderkey") * 100 + F.col("l_linenumber") * 10 + F.col("rep")).alias("point_id"),
         (F.lit(X0) + (gx + F.lit(0.5)) * F.lit(PX)).alias("lon"),
         (F.lit(Y0) - (gy + F.lit(0.5)) * F.lit(PX)).alias("lat"),
     )
 
 
-def _lines_from_orders(spark, sf_dir):
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet").repartition(_parts(spark))
-    g1x = (F.col("o_orderkey") * 7919) % WPX
-    g1y = (F.col("o_orderkey") * 104729) % WPX
-    g2x = F.greatest(F.lit(0), F.least(F.lit(WPX - 1), g1x + (F.col("o_orderkey") * 13) % 120 - 60))
-    g2y = F.greatest(F.lit(0), F.least(F.lit(WPX - 1), g1y + (F.col("o_orderkey") * 29) % 120 - 60))
-    return o.select(
-        F.col("o_orderkey").alias("line_id"),
+def _lines_from_orders(o):
+    lines = o.withColumn(
+        "rep", F.explode(F.sequence(F.lit(0), F.lit(LINE_REPLICAS - 1)))
+    )
+    key = F.col("o_orderkey") * LINE_REPLICAS + F.col("rep")
+    g1x = (key * 7919) % WPX
+    g1y = (key * 104729) % WPX
+    g2x = F.greatest(F.lit(0), F.least(F.lit(WPX - 1), g1x + (key * 13) % 120 - 60))
+    g2y = F.greatest(F.lit(0), F.least(F.lit(WPX - 1), g1y + (key * 29) % 120 - 60))
+    return lines.select(
+        key.alias("line_id"),
         (F.lit(X0) + (g1x + F.lit(0.5)) * F.lit(PX)).alias("x1"),
         (F.lit(Y0) - (g1y + F.lit(0.5)) * F.lit(PX)).alias("y1"),
         (F.lit(X0) + (g2x + F.lit(0.5)) * F.lit(PX)).alias("x2"),
@@ -81,12 +107,15 @@ def _lines_from_orders(spark, sf_dir):
     )
 
 
-def _polygons_from_supplier(spark, sf_dir):
-    s = spark.read.parquet(f"{sf_dir}/supplier.parquet").repartition(_parts(spark))
-    gx0 = (F.col("s_suppkey") * 7919) % (WPX - 200)
-    gy0 = (F.col("s_suppkey") * 104729) % (WPX - 200)
-    w = F.lit(40) + F.col("s_suppkey") % 120
-    h = F.lit(40) + (F.col("s_suppkey") * 7) % 120
+def _polygons_from_supplier(s):
+    polys = s.withColumn(
+        "rep", F.explode(F.sequence(F.lit(0), F.lit(POLY_REPLICAS - 1)))
+    )
+    key = F.col("s_suppkey") * POLY_REPLICAS + F.col("rep")
+    gx0 = (key * 7919) % (WPX - 200)
+    gy0 = (key * 104729) % (WPX - 200)
+    w = F.lit(40) + key % 120
+    h = F.lit(40) + (key * 7) % 120
     x0 = F.lit(X0) + gx0 * F.lit(PX)
     x1 = F.lit(X0) + (gx0 + w) * F.lit(PX)
     y1 = F.lit(Y0) - gy0 * F.lit(PX)
@@ -98,7 +127,7 @@ def _polygons_from_supplier(spark, sf_dir):
         F.struct(x0.alias("lon"), y1.alias("lat")),
         F.struct(x0.alias("lon"), y0.alias("lat")),
     )
-    return s.select(F.col("s_suppkey").alias("poly_id"), ring.alias("ring"))
+    return polys.select(key.alias("poly_id"), ring.alias("ring"))
 
 
 def run_bench(spark, sf_dir: str) -> dict:
@@ -112,20 +141,26 @@ def run_bench(spark, sf_dir: str) -> dict:
     pix.persist()
     pix.count()
 
+    li = _cached(spark, sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_partkey"])
+    orders = _cached(spark, sf_dir, "orders", ["o_orderkey"])
+    supplier = _cached(spark, sf_dir, "supplier", ["s_suppkey"])
+    docs = _cached(spark, sf_dir, "documents", ["doc_id", "text"])
+    emb = _cached(spark, sf_dir, "embeddings", ["vec_id", "embedding"])
+
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
 
     n_reps = int(os.environ.get("OES_BENCH_REPS", "5"))
 
-    def timed(name, df, agg_col="z"):
-        # median of n_reps timed executions (default 5) — the sandbox
-        # host carries ambient co-tenant load, single-shot timings are
-        # bimodal with 2-4x outliers
+    def timed(name, make_df, agg_col="z"):
+        # median of n_reps; the plan is REBUILT each rep (fresh lineage,
+        # no cross-rep shuffle/broadcast reuse)
         samples = []
         r = None
         for _ in range(n_reps):
             t0 = time.perf_counter()
-            r = df.agg(F.count(F.lit(1)).alias("n"), F.sum(agg_col).alias("chk")).collect()[0]
+            r = make_df().agg(F.count(F.lit(1)).alias("n"),
+                              F.sum(agg_col).alias("chk")).collect()[0]
             samples.append(time.perf_counter() - t0)
         samples.sort()
         timings[name] = samples[len(samples) // 2]
@@ -133,13 +168,15 @@ def run_bench(spark, sf_dir: str) -> dict:
         return int(r["chk"] or 0)
 
     # warm-up: JVM + Arrow + python workers (excluded from timings)
-    point_elevation(_points_from_lineitem(spark, sf_dir).limit(1000), images).count()
+    point_elevation(_points_from_lineitem(li).limit(1000), images).count()
 
-    timed("point_replay", point_elevation(_points_from_lineitem(spark, sf_dir), images,
+    timed("point_replay",
+          lambda: point_elevation(_points_from_lineitem(li), images, pix_index_df=pix))
+    timed("line_replay",
+          lambda: line_vertices_elevation(_lines_from_orders(orders), images,
                                           pix_index_df=pix))
-    timed("line_replay", line_vertices_elevation(_lines_from_orders(spark, sf_dir), images,
-                                                 pix_index_df=pix))
-    timed("polygon_dump", polygon_pixels(_polygons_from_supplier(spark, sf_dir), images))
+    timed("polygon_dump",
+          lambda: polygon_pixels(_polygons_from_supplier(supplier), images))
 
     def timed_action(name, fn, n_rows=None):
         samples, n = [], 0
@@ -157,11 +194,9 @@ def run_bench(spark, sf_dir: str) -> dict:
         n_rows=n_tiles,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(_parts(spark))
     timed_action("minhash_lsh",
                  lambda: dedup.lsh_candidate_pairs(docs, n_hashes=8, bands=4).count())
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(_parts(spark))
     q = emb.filter(F.col("vec_id") < 8).select(F.col("vec_id").alias("q_id"),
                                                F.col("embedding").alias("q_vec"))
     timed_action("ann_topk", lambda: similarity.cosine_topk(emb, q, k=10).count())
@@ -180,6 +215,8 @@ def run_bench(spark, sf_dir: str) -> dict:
         "rows": rows,
         "rows_total": int(sum(rows.values())),
         "replay_rows_per_sec": round((replay_rows + n_tiles) / replay_sec, 1),
+        "replicas": {"point": POINT_REPLICAS, "line": LINE_REPLICAS,
+                     "poly": POLY_REPLICAS},
         "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 32)),
     }
 
