@@ -35,6 +35,12 @@ def build_session(app: str = "oes-spark", cpus: int | None = None,
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("OES_DRIVER_MEM", "24g"))
+        # size the WHOLE JVM to the requested core count: local[N] caps
+        # task slots only — GC, JIT and Netty pools otherwise size to the
+        # physical machine, which silently gives a local[2] "cluster"
+        # 32-core garbage collection (distorts N-vs-4N scaling evidence)
+        .config("spark.driver.extraJavaOptions",
+                f"-XX:ActiveProcessorCount={cpus}")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
