@@ -154,7 +154,11 @@ def run_bench(spark, sf_dir: str) -> dict:
 
     def timed(name, make_df, agg_col="z"):
         # median of n_reps; the plan is REBUILT each rep (fresh lineage,
-        # no cross-rep shuffle/broadcast reuse)
+        # no cross-rep shuffle/broadcast reuse).  One untimed warm-up
+        # first: rep 1 otherwise measures C2 JIT compilation of this
+        # query's generated code (severe at small core counts, where
+        # compiler threads compete with the workers), not the engine.
+        make_df().agg(F.count(F.lit(1)), F.sum(agg_col)).collect()
         samples = []
         r = None
         for _ in range(n_reps):
@@ -179,6 +183,7 @@ def run_bench(spark, sf_dir: str) -> dict:
           lambda: polygon_pixels(_polygons_from_supplier(supplier), images))
 
     def timed_action(name, fn, n_rows=None):
+        fn()  # untimed warm-up (JIT steady state)
         samples, n = [], 0
         for _ in range(n_reps):
             t0 = time.perf_counter()

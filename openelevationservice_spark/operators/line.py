@@ -34,17 +34,39 @@ from .point import join_tiles, with_pixel_indices
 from .sample import gather_z
 
 
-def _vertex_array() -> "F.Column":
-    """Per-line vertex array: endpoints ∪ interpolated, deduped, sorted.
+def densify_lines(lines_df: DataFrame) -> DataFrame:
+    """(line_id, x1, y1, x2, y2) → distinct vertex rows
+    (line_id, x1, y1, seq, x, y, dist).
 
-    The entire densify→union→DISTINCT→order pipeline of the reference
-    (``querybuilder.py:201-232``) folds into **per-row array
-    expressions** — ``sequence``/``transform`` generate, ``concat`` +
-    ``array_distinct`` dedupe, ``array_sort`` with a (dist, x, y)
-    comparator orders — so the logical plan has ZERO shuffles before
-    the tile join.  Correct because DISTINCT and ORDER BY in the
-    reference query are scoped to one line; per-line arrays are small
-    (the reference caps lines at maximum_nodes=2000 vertices).
+    Exact ``min(1, coord_precision/lineLen)`` fraction semantics with
+    bounds-based lineLen (reference ``querybuilder.py:197-209``);
+    duplicate vertices removed like the reference's DISTINCT (``:217``),
+    ordered by distance-from-start (``:228-232``).  ``seq`` is 1-based
+    vertex order.  Zero-length lines yield their single point (the
+    degenerate case formatted as a POINT downstream, ``views.py:63-68``).
+
+    DISTINCT and ORDER BY are resolved **constructively** (no
+    ``array_distinct``/``array_sort``/post-explode filter):
+
+    - vertices are emitted in t order (P1, interior t = frac, 2·frac, …,
+      P2); distance-from-start is strictly monotone in t along a
+      straight segment, so emission order IS the reference's ORDER BY
+      distance, and interior points are pairwise distinct;
+    - the only duplicates the reference's DISTINCT can remove are the
+      interpolated point clamped to / rounding onto P2 (t ≥ 1.0, or
+      float coords equal to P2's) and P2 itself on a zero-length line.
+      The drop set is a suffix with at most ONE interior element
+      ((n−1)·frac ≤ 1 − 1/n in exact arithmetic — a gap float error
+      cannot bridge — and coordinates one frac-step apart differ far
+      above coordinate ulp), so it folds into the *bounds* of the
+      generated index sequence: interior indices run 1..n_keep with
+      n_keep = n_interp − [last point has t ≥ 1.0 or coords == P2].
+
+    Physical shape: per-line scalars (frac, n_keep, p2_kept) are
+    evaluated once per line inside the array-expression arguments; ONE
+    ``transform`` lambda builds the final (dist, x, y) structs (higher-
+    order functions are interpreted — CodegenFallback — so single-pass
+    matters); ``posexplode`` position IS seq−1.  Zero shuffles.
     """
     dx = F.col("x2") - F.col("x1")
     dy = F.col("y2") - F.col("y1")
@@ -57,31 +79,35 @@ def _vertex_array() -> "F.Column":
         .otherwise(F.floor(F.lit(1.0) / frac))
         .cast("int")
     )
+    t_last = n_interp * frac
+    x_last = F.col("x1") + t_last * dx
+    y_last = F.col("y1") + t_last * dy
+    tail_dropped = (t_last >= 1.0) | ((x_last == F.col("x2")) & (y_last == F.col("y2")))
+    n_keep = F.when(n_interp >= 1,
+                    n_interp - F.when(tail_dropped, 1).otherwise(0)
+                    ).otherwise(F.lit(0))
+    p2_kept = (F.col("x2") != F.col("x1")) | (F.col("y2") != F.col("y1"))
 
     def pt(x, y):
         return F.struct(x.alias("x"), y.alias("y"))
 
-    def interp_pt(k):
+    def interp(k):
         t = k * frac
-        return pt(
-            F.when(t >= 1.0, F.col("x2")).otherwise(F.col("x1") + t * dx),
-            F.when(t >= 1.0, F.col("y2")).otherwise(F.col("y1") + t * dy),
-        )
+        return pt(F.col("x1") + t * dx, F.col("y1") + t * dy)
 
-    ks = F.when(n_interp >= 1, F.sequence(F.lit(1), n_interp)).otherwise(
+    ks = F.when(n_keep >= 1, F.sequence(F.lit(1), n_keep)).otherwise(
         F.array().cast("array<int>")
     )
-    verts = F.concat(
-        F.array(pt(F.col("x1"), F.col("y1")), pt(F.col("x2"), F.col("y2"))),
-        F.transform(ks, interp_pt),
+    p2 = F.when(p2_kept, F.array(pt(F.col("x2"), F.col("y2")))).otherwise(
+        F.array().cast("array<struct<x:double,y:double>>")
     )
-    verts = F.array_distinct(verts)
+    verts = F.concat(F.array(pt(F.col("x1"), F.col("y1"))), F.transform(ks, interp), p2)
 
-    # order key: struct field order is the sort order for array_sort's
-    # NATURAL (codegen'd) ordering — (dist, x, y) structs sort exactly
-    # like the reference's ORDER BY distance-from-start with our (x, y)
-    # tie-break, no interpreted comparator lambda needed.  dist is a
-    # function of (x, y), so dedupe-before vs after is equivalent.
+    # second (cheap) pass: dist from the already-computed coords — fusing
+    # it into the lambda above would re-inline the frac subtree into the
+    # dist operands (lambda substitution duplicates expression trees and
+    # higher-order functions evaluate interpreted), doubling per-element
+    # cost
     def with_dist(v):
         ddx = v.getField("x") - F.col("x1")
         ddy = v.getField("y") - F.col("y1")
@@ -91,24 +117,11 @@ def _vertex_array() -> "F.Column":
             v.getField("y").alias("y"),
         )
 
-    return F.array_sort(F.transform(verts, with_dist))
+    verts = F.transform(verts, with_dist)
 
-
-def densify_lines(lines_df: DataFrame) -> DataFrame:
-    """(line_id, x1, y1, x2, y2) → distinct vertex rows (line_id, x, y, …).
-
-    Exact ``min(1, coord_precision/lineLen)`` fraction semantics with
-    bounds-based lineLen (reference ``querybuilder.py:197-209``);
-    duplicate vertices removed like the reference's DISTINCT
-    (``:217``), ordered by distance-from-start with a (x, y)
-    tie-break, all inside per-line arrays (no shuffle).  ``seq`` is
-    1-based vertex order.  Zero-length lines yield their single point
-    (the degenerate case formatted as a POINT downstream, reference
-    ``views.py:63-68``).
-    """
     v = lines_df.select(
         "line_id", "x1", "y1",
-        F.posexplode(_vertex_array()).alias("pos", "v"),
+        F.posexplode(verts).alias("pos", "v"),
     )
     return v.select(
         "line_id", "x1", "y1",
@@ -119,12 +132,77 @@ def densify_lines(lines_df: DataFrame) -> DataFrame:
     )
 
 
+DENSIFY_SCHEMA = "line_id long, x1 double, y1 double, seq int, x double, y double, dist double"
+
+
+def _densify_batches(batches):
+    import numpy as np
+    import pandas as pd
+
+    for pdf in batches:
+        if not len(pdf):
+            yield pd.DataFrame({c: [] for c in
+                                ["line_id", "x1", "y1", "seq", "x", "y", "dist"]})
+            continue
+        x1 = pdf["x1"].to_numpy(np.float64)
+        y1 = pdf["y1"].to_numpy(np.float64)
+        x2 = pdf["x2"].to_numpy(np.float64)
+        y2 = pdf["y2"].to_numpy(np.float64)
+        dx = x2 - x1
+        dy = y2 - y1
+        ln = np.sqrt(dx * dx + dy * dy)
+        with np.errstate(divide="ignore"):
+            frac = np.where(ln == 0.0, 1.0,
+                            np.minimum(1.0, COORD_PRECISION / ln))
+        n_int = np.where(ln == 0.0, 0, np.floor(1.0 / frac)).astype(np.int64)
+        t_last = n_int * frac
+        xl = x1 + t_last * dx
+        yl = y1 + t_last * dy
+        tail = (n_int >= 1) & ((t_last >= 1.0) | ((xl == x2) & (yl == y2)))
+        n_keep = n_int - tail.astype(np.int64)
+        p2 = (x2 != x1) | (y2 != y1)
+        cnt = 1 + n_keep + p2.astype(np.int64)
+        off = np.concatenate([[0], np.cumsum(cnt)])
+        li = np.repeat(np.arange(len(pdf)), cnt)
+        j = np.arange(off[-1]) - off[li]
+        is_p1 = j == 0
+        is_p2 = p2[li] & (j == cnt[li] - 1)
+        t = j * frac[li]
+        x = np.where(is_p1, x1[li],
+                     np.where(is_p2, x2[li], x1[li] + t * dx[li]))
+        y = np.where(is_p1, y1[li],
+                     np.where(is_p2, y2[li], y1[li] + t * dy[li]))
+        ddx = x - x1[li]
+        ddy = y - y1[li]
+        yield pd.DataFrame({
+            "line_id": pdf["line_id"].to_numpy(np.int64)[li],
+            "x1": x1[li], "y1": y1[li],
+            "seq": (j + 1).astype(np.int32),
+            "x": x, "y": y,
+            "dist": np.sqrt(ddx * ddx + ddy * ddy),
+        })
+
+
+def densify_lines_arrow(lines_df: DataFrame) -> DataFrame:
+    """Vectorized Arrow implementation of ``densify_lines`` — identical
+    IEEE-754 arithmetic (same operations, same order), several times
+    the throughput of the array-expression form because Spark's
+    higher-order functions evaluate interpreted (CodegenFallback) with
+    per-element object churn, while this path is flat numpy over Arrow
+    batches.  Identical outputs are asserted in tests/test_line.py.
+    """
+    return lines_df.select("line_id", "x1", "y1", "x2", "y2").mapInPandas(
+        _densify_batches, schema=DENSIFY_SCHEMA
+    )
+
+
 def line_vertices_elevation(lines_df: DataFrame, images_df: DataFrame,
                             how: str = "inner",
                             index_strategy: str = "broadcast",
                             gather_strategy: str = "jvm",
                             grids_bc=None,
-                            pix_index_df: DataFrame | None = None) -> DataFrame:
+                            pix_index_df: DataFrame | None = None,
+                            densify_impl: str = "arrow") -> DataFrame:
     """Densified vertices with z and a deterministic order index ``seq``.
 
     Output: (line_id, seq, x, y, z, dist, image_id, ix, iy).  ``seq``
@@ -133,7 +211,8 @@ def line_vertices_elevation(lines_df: DataFrame, images_df: DataFrame,
     in seq (order is unaffected; the reference emits survivors in the
     same distance order).
     """
-    verts = densify_lines(lines_df)
+    verts = (densify_lines_arrow(lines_df) if densify_impl == "arrow"
+             else densify_lines(lines_df))
     if gather_strategy == "jvm":
         from .sample import gather_z_jvm, pixel_index
 

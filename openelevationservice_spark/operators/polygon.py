@@ -78,17 +78,40 @@ def polygon_tile_join(polygons_df: DataFrame, index_df: DataFrame,
     return p.join(idx, "cell_id", "inner")
 
 
+# Arrow boundary carries only the irreducible columns; image_id / x / y
+# are derived JVM-side from (gx, gy) with bit-identical arithmetic
+# (see with_pixel_coords) — halves the Python→JVM transfer volume of
+# the pixel dump, the operator's dominant cost at scale.
 PIXEL_SCHEMA = T.StructType(
     [
         T.StructField("poly_id", T.LongType()),
-        T.StructField("image_id", T.StringType()),
         T.StructField("gx", T.LongType()),
         T.StructField("gy", T.LongType()),
-        T.StructField("x", T.DoubleType()),
-        T.StructField("y", T.DoubleType()),
         T.StructField("z", T.IntegerType()),
     ]
 )
+
+
+def with_pixel_coords(df: DataFrame) -> DataFrame:
+    """Derive (image_id, x, y) from global pixel indices as Columns.
+
+    Exactly the arithmetic of the tile captions (sources/fixtures.py
+    ``tile_caption``) and the numpy centroid computation:
+    ``ul_x = WORLD_X0 + tx*TILE_DEG``; ``x = ul_x + (ix + 0.5)*PX`` —
+    identical double operations in identical order, so values are
+    bit-equal to computing them inside the Arrow kernel.
+    """
+    from ..constants import PX, TILE_PX
+
+    tx = (F.col("gx") / TILE_PX).cast("long")
+    ty = (F.col("gy") / TILE_PX).cast("long")
+    ul_x = F.lit(WORLD_X0) + tx * F.lit(TILE_DEG)
+    ul_y = F.lit(WORLD_Y0) - ty * F.lit(TILE_DEG)
+    return (
+        df.withColumn("image_id", F.format_string("tile_%05d_%05d", tx, ty))
+        .withColumn("x", ul_x + ((F.col("gx") - tx * TILE_PX) + F.lit(0.5)) * F.lit(PX))
+        .withColumn("y", ul_y - ((F.col("gy") - ty * TILE_PX) + F.lit(0.5)) * F.lit(PX))
+    )
 
 
 def _pixel_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -118,11 +141,8 @@ def _pixel_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             ty = int(round((WORLD_Y0 - ul_y) / TILE_DEG))
             outs.append(pd.DataFrame({
                 "poly_id": np.int64(r["poly_id"]),
-                "image_id": img,
                 "gx": tx * w + ix,
                 "gy": ty * h + iy,
-                "x": cx[iy, ix],
-                "y": cy[iy, ix],
                 "z": grid[iy, ix].astype(np.int32),
             }))
         yield (pd.concat(outs, ignore_index=True)[cols] if outs
@@ -139,7 +159,7 @@ def polygon_pixels(polygons_df: DataFrame, images_df: DataFrame,
     idx = tile_index(images_df, with_bytes=True)
     j = polygon_tile_join(polygons_df.select("poly_id", "ring"), idx,
                           index_strategy=index_strategy)
-    return j.mapInPandas(_pixel_rows, schema=PIXEL_SCHEMA)
+    return with_pixel_coords(j.mapInPandas(_pixel_rows, schema=PIXEL_SCHEMA))
 
 
 def polygon_elevation(polygons_df: DataFrame, images_df: DataFrame,

@@ -57,3 +57,40 @@ def tile_index(images_df: DataFrame, with_bytes: bool = False) -> DataFrame:
         .withColumn("min_y", F.col("ul_y") - F.col("h") * F.col("px"))
     )
     return df
+
+
+def morton_col(tx, ty) -> "F.Column":
+    """Morton (Z-order) interleave of (tx, ty) as a Column — the physical
+    sort/cluster key of the persisted tile index (SURVEY.md §1.3): close
+    tiles land in the same file, so bbox queries prune files via
+    parquet min/max stats on this key."""
+    def part1by1(v):
+        v = v.bitwiseAND(F.lit(0x00000000FFFFFFFF))
+        v = (v.bitwiseOR(F.shiftleft(v, 16))).bitwiseAND(F.lit(0x0000FFFF0000FFFF))
+        v = (v.bitwiseOR(F.shiftleft(v, 8))).bitwiseAND(F.lit(0x00FF00FF00FF00FF))
+        v = (v.bitwiseOR(F.shiftleft(v, 4))).bitwiseAND(F.lit(0x0F0F0F0F0F0F0F0F))
+        v = (v.bitwiseOR(F.shiftleft(v, 2))).bitwiseAND(F.lit(0x3333333333333333))
+        v = (v.bitwiseOR(F.shiftleft(v, 1))).bitwiseAND(F.lit(0x5555555555555555))
+        return v
+
+    return part1by1(tx).bitwiseOR(F.shiftleft(part1by1(ty), 1))
+
+
+def write_tile_index(images_df: DataFrame, store, stage: str = "tile_index",
+                     num_files: int | None = None) -> dict:
+    """Ingest job (reference S3 raster2pgsql-import equivalent): build the
+    tile index and persist it as a checkpointed snapshot, range-partitioned
+    + sorted by the Morton key so spatially-close tiles cluster into the
+    same files (Iceberg's sort-ordered write; parquet min/max stats on
+    ``morton`` give file-level pruning for bbox queries).
+
+    Returns the snapshot manifest (per-partition row counts + lineage,
+    sources/snapshots.py).
+    """
+    idx = tile_index(images_df).withColumn(
+        "morton", morton_col(F.col("tx"), F.col("ty"))
+    )
+    spark = images_df.sparkSession
+    n = num_files or spark.sparkContext.defaultParallelism
+    clustered = idx.repartitionByRange(n, "morton").sortWithinPartitions("morton")
+    return store.write(clustered, stage, params={"num_files": n, "order": "morton"})

@@ -82,3 +82,34 @@ def test_tile_alignment():
     w = fx.DEFAULT_WORLD
     assert abs(w.min_x - (-180 + w.tx0 * TILE_DEG)) < 1e-12
     assert w.max_y <= 90
+
+
+def test_write_tile_index_morton_clustered(spark, tmp_path):
+    """Ingest writer: snapshot is range-partitioned + sorted by the
+    Morton key (file-level locality for bbox pruning) and carries
+    per-partition lineage."""
+    import numpy as np
+    from openelevationservice_spark.functions import cells
+    from openelevationservice_spark.sources import fixtures as fx
+    from openelevationservice_spark.sources.snapshots import SnapshotStore
+    from openelevationservice_spark.sources.tiles import write_tile_index
+
+    world = fx.World(nx=8, ny=8)
+    images = spark.createDataFrame(fx.make_images_pdf(world), schema=fx.IMAGES_SCHEMA)
+    store = SnapshotStore(str(tmp_path))
+    manifest = write_tile_index(images, store, num_files=4)
+    assert manifest["total_rows"] == world.n_tiles
+    assert len(manifest["partitions"]) >= 2          # range-partitioned
+    out = store.read(spark, "tile_index")
+    # morton column matches the numpy reference implementation
+    pdf = out.select("tx", "ty", "morton").toPandas()
+    want = cells.morton_id(pdf.tx.to_numpy(), pdf.ty.to_numpy(), res=15)
+    # cells.morton_id tags resolution bits; the layout key is the raw
+    # interleave — compare the low 58 bits
+    assert ((want & ((1 << 58) - 1)) == pdf.morton.to_numpy()).all()
+    # sorted within every partition (file)
+    from pyspark.sql import functions as F
+    part = out.withColumn("pid", F.spark_partition_id()).toPandas()
+    for _, g in part.groupby("pid"):
+        m = g.morton.to_numpy()
+        assert (np.diff(m) >= 0).all()

@@ -127,3 +127,30 @@ def test_line_assembly_ordered(spark, world, images):
             d = math.sqrt((v["x"] - x0) ** 2 + (v["y"] - y0) ** 2)
             assert d >= d_prev - 1e-12
             d_prev = d
+
+
+def test_densify_arrow_equals_sql(spark):
+    """The Arrow densify and the array-expression densify are the same
+    operator: identical rows bit-for-bit on a mixed batch (normal,
+    short, axis-aligned, zero-length lines)."""
+    import pandas as pd
+    from openelevationservice_spark.operators.line import (
+        densify_lines,
+        densify_lines_arrow,
+    )
+
+    pdf = pd.DataFrame({
+        "line_id": [1, 2, 3, 4, 5],
+        "x1": [13.33, 13.33, 13.30, 13.31, 13.34],
+        "y1": [38.11, 38.11, 38.10, 38.12, 38.13],
+        "x2": [13.34, 13.33, 13.30, 13.3101, 13.34001],
+        "y2": [38.12, 38.11, 38.14, 38.12, 38.13],
+    })
+    lines = spark.createDataFrame(pdf)
+    a = densify_lines_arrow(lines).toPandas().sort_values(
+        ["line_id", "seq"]).reset_index(drop=True)
+    b = densify_lines(lines).toPandas().sort_values(
+        ["line_id", "seq"]).reset_index(drop=True)
+    assert len(a) == len(b) > 5
+    for c in a.columns:
+        assert (a[c].to_numpy() == b[c].to_numpy()).all(), c
