@@ -100,3 +100,33 @@ def test_dissolve_preserves_area_and_closes_rings(pixels):
             assert ring[0] == ring[-1]          # closed
         total += sum(_signed_area2(r[:-1]) / 2.0 for r in rings)
     assert total == len(pixels)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.tuples(
+    st.floats(13.0, 14.0, allow_nan=False),
+    st.floats(38.0, 39.0, allow_nan=False),
+    st.floats(13.0, 14.0, allow_nan=False),
+    st.floats(38.0, 39.0, allow_nan=False),
+), min_size=1, max_size=8))
+def test_densify_implementations_agree(spark, lines):
+    """The Arrow densify and the array-expression densify are the same
+    operator on arbitrary segments (incl. zero-length and near-seam)."""
+    import pandas as pd
+    from openelevationservice_spark.operators.line import (
+        densify_lines,
+        densify_lines_arrow,
+    )
+
+    pdf = pd.DataFrame(
+        [(i, x1, y1, x2, y2) for i, (x1, y1, x2, y2) in enumerate(lines)],
+        columns=["line_id", "x1", "y1", "x2", "y2"],
+    )
+    df = spark.createDataFrame(pdf)
+    a = densify_lines_arrow(df).toPandas().sort_values(
+        ["line_id", "seq"]).reset_index(drop=True)
+    b = densify_lines(df).toPandas().sort_values(
+        ["line_id", "seq"]).reset_index(drop=True)
+    assert len(a) == len(b)
+    for c in a.columns:
+        assert (a[c].to_numpy() == b[c].to_numpy()).all(), c
