@@ -632,17 +632,23 @@ FROM r WHERE rank <= 3
 
 def q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _read(spark, sf_dir, "events")
+    # epoch-floored hourly bucket emitted as epoch SECONDS: both
+    # F.window() boundaries and any timestamp-typed output column render
+    # in the session timezone, and the driver's session tz is not ours
+    # to set — integer epochs are timezone-proof on both engines
+    win = ((F.unix_timestamp("ts") / 3600).cast("long") * 3600).alias("win_start")
     return (
-        ev.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        ev.groupBy(win, "event_type")
         .agg(F.count(F.lit(1)).alias("n"),
              F.min("value").alias("min_v"),
              F.max("value").alias("max_v"))
-        .select(F.col("win.start").alias("win_start"), "event_type", "n", "min_v", "max_v")
+        .select("win_start", "event_type", "n", "min_v", "max_v")
     )
 
 
 _SQL_EVENT_WINDOWS = """
-SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start, event_type,
+SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS win_start,
+       event_type,
        COUNT(*) AS n, MIN(value) AS min_v, MAX(value) AS max_v
 FROM events GROUP BY 1, 2
 """
