@@ -207,7 +207,7 @@ dedup, ANN cosine top-k).
 
 Per-query seconds at each level:
 
-| query | local[8] | local[32] |
+| query | local[{n_small}] (s) | local[{n_big}] (s) |
 |---|---|---|
 """ + "\n".join(
         f"| {k} | {r8['queries'][k]:.2f} | {r32['queries'][k]:.2f} |"
