@@ -50,12 +50,13 @@ def minhash_signature(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
     """(id, sig: array<string>) — per-doc MinHash signature.
 
     sig[i] = min over distinct shingles of md5(i || ':' || shingle).
-    Explode + groupBy = one shuffle keyed by doc id; the B mins are
-    computed as B parallel partial aggregates (map-side combine).
+    MIN is duplicate-invariant, so no DISTINCT (and no extra shuffle) is
+    needed over the exploded shingles; the only exchange is the
+    groupBy(doc id), and the B mins are computed as B parallel partial
+    aggregates (map-side combine).
     """
-    sh = (
-        df.select(F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("sh"))
-        .distinct()
+    sh = df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("sh")
     )
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"h{i}")
