@@ -131,6 +131,53 @@ def frame_sample(videos_df: DataFrame, every_n: int = 30) -> DataFrame:
     return videos_df.mapInPandas(sample, schema=schema)
 
 
+def audio_features(audio_df: DataFrame, frame_ms: int = 25) -> DataFrame:
+    """Audio feature extraction over opaque binary payloads.
+
+    Real Spark plumbing (binary column + typed metadata in, framed
+    feature rows out via Arrow batches); the codec itself is a
+    deterministic fake for ``fmt == 'pcm16'`` (raw little-endian int16
+    samples — decodable with numpy alone) and a clearly-marked STUB for
+    compressed formats (no audio libs in this sandbox).  Input schema:
+    (audio_id string, bytes binary, sample_rate int, fmt string).
+    Output: one row per ``frame_ms`` frame with RMS + peak.
+    """
+    schema = T.StructType([
+        T.StructField("audio_id", T.StringType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.IntegerType()),
+    ])
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                if r["fmt"] != "pcm16":
+                    raise NotImplementedError(
+                        f"audio decode for {r['fmt']!r} requires native "
+                        "libs not in this sandbox"
+                    )
+                samples = np.frombuffer(r["bytes"], dtype="<i2")
+                spf = max(1, int(r["sample_rate"]) * frame_ms // 1000)
+                n_frames = len(samples) // spf
+                if not n_frames:
+                    continue
+                fr = samples[: n_frames * spf].reshape(n_frames, spf).astype(np.float64)
+                rows.append(pd.DataFrame({
+                    "audio_id": r["audio_id"],
+                    "frame_idx": np.arange(n_frames, dtype=np.int32),
+                    "rms": np.sqrt((fr * fr).mean(axis=1)),
+                    "peak": np.abs(fr).max(axis=1).astype(np.int32),
+                }))
+            yield (pd.concat(rows, ignore_index=True) if rows
+                   else pd.DataFrame({f.name: [] for f in schema.fields}))
+
+    return audio_df.select("audio_id", "bytes", "sample_rate", "fmt").mapInPandas(
+        feats, schema=schema
+    )
+
+
 def roundtrip_invariant(images_df: DataFrame, min_psnr: float = 40.0) -> DataFrame:
     """Per-row input_hint invariant: decode→encode→decode PSNR + phash +
     caption equality.  Returns (image_id, ok, psnr_db, phash_match,

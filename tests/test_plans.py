@@ -1,0 +1,82 @@
+"""Physical-plan regression tests: the shapes that make this engine
+scale must not silently regress (SURVEY.md §4).  Assertions use the
+executedPlan string via plans/exec.py helpers.
+"""
+
+import pandas as pd
+import pytest
+
+from openelevationservice_spark.plans import exec as ex
+from openelevationservice_spark.operators.point import point_elevation
+from openelevationservice_spark.operators.line import (
+    densify_lines_arrow,
+    line_vertices_elevation,
+)
+from openelevationservice_spark.operators.polygon import polygon_pixels
+from openelevationservice_spark.operators import dedup
+from openelevationservice_spark.sources import fixtures as fx
+
+
+@pytest.fixture(scope="module")
+def world():
+    return fx.World(nx=2, ny=2)
+
+
+@pytest.fixture(scope="module")
+def images(spark, world):
+    df = spark.createDataFrame(fx.make_images_pdf(world), schema=fx.IMAGES_SCHEMA)
+    df.persist()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def pts(spark, world):
+    return spark.createDataFrame(fx.make_points_pdf(world, n=50))
+
+
+def test_point_plan_is_broadcast_equi_join(spark, images, pts):
+    df = point_elevation(pts, images)
+    ex.assert_broadcast_join(df)
+    ex.assert_no_cartesian(df)
+    plan = ex.explain_str(df)
+    # the gather is JVM element_at — no Python stage after the join
+    after_join = plan[plan.index("BroadcastHashJoin"):]
+    assert "ArrowEvalPython" not in after_join
+    assert "BatchEvalPython" not in plan   # no row-at-a-time python anywhere
+
+
+def test_densify_plan_has_no_exchange(spark):
+    lines = spark.createDataFrame(pd.DataFrame({
+        "line_id": [1], "x1": [13.2], "y1": [38.2], "x2": [13.21], "y2": [38.21]}))
+    plan = ex.explain_str(densify_lines_arrow(lines))
+    assert "Exchange" not in plan          # densify is shuffle-free
+
+
+def test_line_plan_shape(spark, images, pts):
+    lines = spark.createDataFrame(pd.DataFrame({
+        "line_id": [1], "x1": [13.2], "y1": [38.2], "x2": [13.21], "y2": [38.21]}))
+    df = line_vertices_elevation(lines, images)
+    ex.assert_broadcast_join(df)
+    ex.assert_no_cartesian(df)
+
+
+def test_polygon_plan_is_equi_join(spark, images):
+    polys = spark.createDataFrame(
+        pd.DataFrame({"poly_id": [0], "ring": [
+            [{"lon": 13.2, "lat": 38.2}, {"lon": 13.21, "lat": 38.2},
+             {"lon": 13.21, "lat": 38.21}, {"lon": 13.2, "lat": 38.21},
+             {"lon": 13.2, "lat": 38.2}]]}),
+        schema="poly_id long, ring array<struct<lon:double,lat:double>>")
+    df = polygon_pixels(polys, images)
+    ex.assert_no_cartesian(df)
+
+
+def test_lsh_pair_join_is_equi_not_cross(spark):
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["a b c d e", "a b c d e", "x y z w v"]}))
+    df = dedup.lsh_candidate_pairs(docs)
+    ex.assert_no_cartesian(df)
+    df2 = dedup.simhash_near_pairs(docs, max_hamming=1)
+    ex.assert_no_cartesian(df2)
