@@ -88,6 +88,33 @@ def _dissolve_group(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA.fields])
 
 
+def _dissolve_partition(batches):
+    """One python invocation per PARTITION, not per group.
+
+    ``groupBy().applyInPandas`` pays a shuffle + Arrow round-trip +
+    python call per (poly_id, height_base) group; band groups here are
+    tiny (tens of pixels), so that overhead dominated the operator
+    (measured 13 s distributed vs 4 s single-threaded pandas at
+    sf0.01).  Instead the rows are hash-partitioned by poly_id (all of
+    a polygon's bands co-located), the partition's Arrow batches are
+    accumulated, and plain pandas groupby dissolves every group in one
+    call — same rows out, ~5× less overhead.  Per-partition buffering
+    is bounded: a partition holds ~n_polygons/shuffle_partitions
+    polygons' pixels.
+    """
+    pdfs = [pdf for pdf in batches if len(pdf)]
+    if not pdfs:
+        yield pd.DataFrame(columns=[f.name for f in FEATURE_SCHEMA.fields])
+        return
+    all_rows = pd.concat(pdfs, ignore_index=True)
+    outs = [
+        _dissolve_group(g)
+        for _, g in all_rows.groupby(["poly_id", "height_base"], sort=False)
+    ]
+    # one Arrow batch per partition, not one per band group
+    yield pd.concat(outs, ignore_index=True)
+
+
 def polygon_color_features(polygons_df: DataFrame, images_df: DataFrame,
                            num_ranges: int = NUM_RANGES,
                            index_strategy: str = "broadcast") -> DataFrame:
@@ -102,8 +129,8 @@ def polygon_color_features(polygons_df: DataFrame, images_df: DataFrame,
     banded = with_height_base(pixels, stats, num_ranges)
     return (
         banded.select("poly_id", "height_base", "gx", "gy")
-        .groupBy("poly_id", "height_base")
-        .applyInPandas(_dissolve_group, schema=FEATURE_SCHEMA)
+        .repartition("poly_id")
+        .mapInPandas(_dissolve_partition, schema=FEATURE_SCHEMA)
     )
 
 

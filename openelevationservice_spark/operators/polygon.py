@@ -72,6 +72,13 @@ def polygon_tile_join(polygons_df: DataFrame, index_df: DataFrame,
         .withColumn("cy", F.explode(F.sequence(cy0, cy1)))
         .withColumn("cell_id", linear_id_col(F.col("cx"), F.col("cy")))
     )
+    # spread the (polygon, cell) pairs BEFORE the join: query tables often
+    # arrive as one small parquet file (one scan task), which would funnel
+    # every pixel-mask kernel invocation into a single python worker.
+    # Shuffling here moves only rings + ids — the tile bytes join in after
+    # and never reshuffle.
+    spark = polygons_df.sparkSession
+    p = p.repartition(spark.sparkContext.defaultParallelism * 2, "poly_id", "cell_id")
     idx = index_df.select("cell_id", "image_id", "bytes", "fmt", "ul_x", "ul_y", "px", "w", "h")
     if index_strategy == "broadcast":
         idx = F.broadcast(idx)
