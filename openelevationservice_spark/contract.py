@@ -52,8 +52,22 @@ _W0 = _d(WORLD_X0)
 _WY0 = _d(WORLD_Y0)
 
 
+_IMAGES_CACHE: dict[str, DataFrame] = {}
+
+
 def _images(spark: SparkSession) -> DataFrame:
-    return fx.make_images_df(spark, CW)
+    """Contract tile world, generated once per session and persisted —
+    ~10 geo queries would otherwise re-run the 256-tile synthesis each
+    (the driver correctness gate runs them all in one session)."""
+    key = spark.sparkContext.applicationId
+    df = _IMAGES_CACHE.get(key)
+    if df is None:
+        df = fx.make_images_df(spark, CW)
+        df.persist()
+        df.count()
+        _IMAGES_CACHE.clear()   # one live session at a time
+        _IMAGES_CACHE[key] = df
+    return df
 
 
 def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
