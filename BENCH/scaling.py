@@ -26,12 +26,13 @@ REPO = Path(__file__).resolve().parents[1]
 # in core count, so at default volumes they dominate wall time and mask
 # the engine's parallel scaling.  These multipliers raise the parallel
 # work until it dominates (point: 307M joined rows/run), which is also
-# the regime the 10^12-image rule is about.  Line and polygon are
-# already parallel-dominated at x1 (30s+ at local[2]).
+# the regime the 10^12-image rule is about.  Volumes re-tuned after
+# the round-1 operator optimizations (3x faster line/polygon) pushed
+# x1 runs back into fixed-cost territory at the 4N level.
 SCALE_ENV = {
     "OES_BENCH_POINT_REPLICAS": os.environ.get("OES_SCALE_POINT", "256"),
-    "OES_BENCH_LINE_REPLICAS": os.environ.get("OES_SCALE_LINE", "1"),
-    "OES_BENCH_POLY_REPLICAS": os.environ.get("OES_SCALE_POLY", "1"),
+    "OES_BENCH_LINE_REPLICAS": os.environ.get("OES_SCALE_LINE", "4"),
+    "OES_BENCH_POLY_REPLICAS": os.environ.get("OES_SCALE_POLY", "4"),
     "OES_BENCH_REPS": os.environ.get("OES_SCALE_REPS", "3"),
 }
 
