@@ -834,23 +834,58 @@ FROM px
 
 
 # ===========================================================================
-# Q21. color dissolve — G3 (grid connected-components + ring tracing;
-# not SQL-expressible → rows-only driver check; exact unit oracles live
-# in tests/test_geometry_dissolve.py against hand-computed grids)
+# Q21. color dissolve — G3 (grid connected-components + ring tracing).
+# The dissolve itself is not SQL-expressible, but its per-band invariants
+# are: Σ ring shoelace area must equal the band's pixel count, and the
+# Euler numbers χ4 = C4−H8 / χ8 = C8−H4 must match Gray's 2×2 quad-count
+# formula ((Q1 − Q3 ± 2·QD)/4).  The kernel cross-asserts the traced
+# rings against independent grid labeling (operators/color.py), so this
+# oracle binds the ring tracer, the labeling, the band arithmetic and
+# the pixel sets.  Per-ring geometric oracles stay in
+# tests/test_geometry_dissolve.py.
 # ===========================================================================
 
 def q_color_dissolve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.color import polygon_color_features
+    from .operators.color import polygon_color_invariants
 
     polys = _polygons_df(spark, sf_dir)
-    feats = polygon_color_features(polys, _images(spark))
-    return feats.select(
-        "poly_id",
-        F.col("height_base").cast("long").alias("height_base"),
-        F.col("feature_idx").cast("long").alias("feature_idx"),
-        F.col("n_rings").cast("long").alias("n_rings"),
-        "area_px",
-    )
+    return polygon_color_invariants(polys, _images(spark))
+
+
+def _sql_color_dissolve() -> str:
+    return f"""
+WITH px AS ({_SQL_POLY_PIXELS}),
+st AS (SELECT poly_id, MIN(z) AS min_z, MAX(z) AS max_z FROM px GROUP BY poly_id),
+b AS (
+  SELECT px.poly_id, px.gx, px.gy,
+         CAST(ceil(floor((px.z - st.min_z) / ((st.max_z - st.min_z + 1) / CAST(23.0 AS DOUBLE)))
+              * ((st.max_z - st.min_z + 1) / CAST(23.0 AS DOUBLE)) + st.min_z) AS BIGINT) AS height_base
+  FROM px JOIN st ON px.poly_id = st.poly_id
+), q AS (
+  -- every pixel contributes to the four 2x2 windows containing it;
+  -- pos encodes its corner within the window (0=TL 1=TR 2=BL 3=BR)
+  SELECT b.poly_id, b.height_base,
+         b.gx - d.dx AS ax, b.gy - d.dy AS ay, d.dx + 2 * d.dy AS pos
+  FROM b, (VALUES (0, 0), (1, 0), (0, 1), (1, 1)) d(dx, dy)
+), w AS (
+  SELECT poly_id, height_base, ax, ay, COUNT(*) AS n, SUM(pos) AS sp
+  FROM q GROUP BY poly_id, height_base, ax, ay
+), g AS (
+  -- Gray quad counts: Q1, Q3, and diagonal pairs (pos sets {{0,3}}/{{1,2}}
+  -- are exactly the n=2 windows with pos-sum 3)
+  SELECT poly_id, height_base,
+         SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS q1,
+         SUM(CASE WHEN n = 3 THEN 1 ELSE 0 END) AS q3,
+         SUM(CASE WHEN n = 2 AND sp = 3 THEN 1 ELSE 0 END) AS qd
+  FROM w GROUP BY poly_id, height_base
+), a AS (
+  SELECT poly_id, height_base, COUNT(*) AS area_px FROM b GROUP BY poly_id, height_base
+)
+SELECT a.poly_id, a.height_base, CAST(a.area_px AS BIGINT) AS area_px,
+       CAST((g.q1 - g.q3 + 2 * g.qd) // 4 AS BIGINT) AS euler4,
+       CAST((g.q1 - g.q3 - 2 * g.qd) // 4 AS BIGINT) AS euler8
+FROM a JOIN g ON a.poly_id = g.poly_id AND a.height_base = g.height_base
+"""
 
 
 # ===========================================================================
@@ -885,24 +920,15 @@ FROM documents
 # ===========================================================================
 
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """For every vector: its nearest other vector by cosine — the exact
-    brute-force baseline of embedding near-dup detection (the LSH scale
-    path is q_ann_lsh)."""
+    """For every vector: its nearest other vector by cosine — EXACT, via
+    IVF triangle-inequality pruning (``similarity.exact_nn``): same-list
+    candidates first, then only the inverted lists whose angular bound
+    can beat the phase-1 best.  No cross join, no full-corpus window —
+    the brute-force all-pairs version is demoted to the SQL oracle."""
     emb = _read(spark, sf_dir, "embeddings")
-    out = similarity.cosine_topk(
-        emb,
-        emb.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")),
-        k=2,
-    )
-    # rank 1 is the vector itself (sim = 1); rank 2 is the true neighbor
-    return (
-        out.filter(F.col("vec_id") != F.col("q_id"))
-        .withColumn("r", F.row_number().over(
-            Window.partitionBy("q_id").orderBy(F.desc("sim"), "vec_id")))
-        .filter(F.col("r") == 1)
-        .select(F.col("q_id").alias("vec_id"), F.col("vec_id").alias("nn_id"),
-                F.round("sim", 6).alias("sim"))
-    )
+    out = similarity.exact_nn(emb, id_col="vec_id", vec_col="embedding",
+                              n_centroids=8)
+    return out.select("vec_id", "nn_id", F.round("sim", 6).alias("sim"))
 
 
 _SQL_EMBED_NEARDUP = """
@@ -924,32 +950,122 @@ SELECT vec_id, nn_id, round(sim, 6) AS sim FROM r WHERE rnk = 1
 
 
 # ===========================================================================
-# Q24. LSH-bucketed approximate ANN — similarity scale path (random
-# hyperplanes from a seeded numpy RNG → not SQL-reproducible → rows-only)
+# Q24. LSH-bucketed approximate ANN — similarity scale path.  Hyperplanes
+# are md5-derived integer lattices (similarity.deterministic_hyperplanes)
+# and bucket bits come from sequential-fold dot products, so the DuckDB
+# oracle reproduces the bucketing bit-for-bit from injected literals.
 # ===========================================================================
+
+_LSH_PLANES = 6
+_LSH_PROBE_BITS = 2
+_EMB_DIM = 64
+
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
-    out = similarity.lsh_ann_topk(emb, queries, k=3, n_planes=6, probe_bits=2)
+    out = similarity.lsh_ann_topk(emb, queries, k=3, n_planes=_LSH_PLANES,
+                                  probe_bits=_LSH_PROBE_BITS,
+                                  method="jvm", dim=_EMB_DIM)
     return out.select("q_id", F.col("rank").cast("long").alias("rank"),
                       "vec_id", F.round("sim", 6).alias("sim"))
 
 
+_SQL_COS = """list_reduce(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]), (x, y) -> x + y)
+         / (sqrt(list_reduce(list_transform({a}, x -> x * x), (x, y) -> x + y))
+            * sqrt(list_reduce(list_transform({b}, x -> x * x), (x, y) -> x + y)))"""
+
+
+def _sql_ann_lsh() -> str:
+    planes = similarity.deterministic_hyperplanes(_EMB_DIM, _LSH_PLANES, seed=42)
+    bits = " + ".join(
+        "(CASE WHEN list_reduce(list_transform(list_zip(v, "
+        f"[{', '.join(str(c) for c in plane)}]), p -> p[1] * p[2]), (x, y) -> x + y) > 0 "
+        f"THEN {1 << p} ELSE 0 END)"
+        for p, plane in enumerate(planes)
+    )
+    probes = ", ".join(["bucket"] + [f"xor(bucket, {1 << b})" for b in range(_LSH_PROBE_BITS)])
+    sim = _SQL_COS.format(a="c.v", b="q.qv")
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+), b AS (
+  SELECT vec_id, v, {bits} AS bucket FROM e
+), q AS (
+  SELECT vec_id AS q_id, v AS qv, unnest([{probes}]) AS probe
+  FROM b WHERE vec_id < 5
+), j AS (
+  SELECT q.q_id, c.vec_id, {sim} AS sim
+  FROM b c JOIN q ON c.bucket = q.probe
+), r AS (
+  SELECT q_id, vec_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+  FROM j)
+SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, round(sim, 6) AS sim
+FROM r WHERE rank <= 3
+"""
+
+
+# ===========================================================================
+# Q24b. IVF ANN — inverted-list equi-join, nprobe=4 of 8 lists.  The
+# contract quantizer is the zero-iteration seed quantizer (normalized
+# first-8 vectors, sequential-fold norms) so the oracle derives the SAME
+# centroids straight from the ``embeddings`` view; the production
+# k-means quantizer is unit-tested against full-probe brute force.
+# ===========================================================================
+
+_IVF_K = 8
+_IVF_NPROBE = 4
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF coarse-quantizer ANN (numpy k-means centroids → inverted-list
-    equi-join, nprobe=4/8 lists).  Approximate + driver-side-trained
-    quantizer → rows-only; exactness at full probe is unit-tested in
-    tests/test_similarity.py."""
     emb = _read(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
-    out = similarity.ivf_topk(emb, queries, k=3, n_centroids=8, nprobe=4)
+    cent = similarity.ivf_seed_centroids(emb, "embedding", "vec_id", _IVF_K)
+    out = similarity.ivf_topk(emb, queries, k=3, n_centroids=_IVF_K,
+                              nprobe=_IVF_NPROBE, centroids=cent, method="jvm")
     return out.select("q_id", F.col("rank").cast("long").alias("rank"),
                       "vec_id", F.round("sim", 6).alias("sim"))
+
+
+def _sql_ann_ivf() -> str:
+    sim = _SQL_COS.format(a="c.v", b="q.qv")
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+), cent AS (
+  -- seed quantizer: normalized first-{_IVF_K} vectors (sequential-fold norm)
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS l,
+         list_transform(v, x -> x / sqrt(list_reduce(list_transform(v, y -> y * y),
+                                                     (a, b) -> a + b))) AS cv
+  FROM e ORDER BY vec_id LIMIT {_IVF_K}
+), dots AS (
+  SELECT e.vec_id, e.v, cent.l,
+         list_reduce(list_transform(list_zip(e.v, cent.cv), p -> p[1] * p[2]),
+                     (a, b) -> a + b) AS dot
+  FROM e, cent
+), ranked AS (
+  SELECT vec_id, v, l,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, l) AS r
+  FROM dots
+), c AS (
+  SELECT vec_id, v, l FROM ranked WHERE r = 1
+), q AS (
+  SELECT vec_id AS q_id, v AS qv, l FROM ranked WHERE r <= {_IVF_NPROBE} AND vec_id < 5
+), j AS (
+  SELECT q.q_id, c.vec_id, {sim} AS sim
+  FROM c JOIN q ON c.l = q.l
+), r AS (
+  SELECT q_id, vec_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+  FROM j)
+SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, round(sim, 6) AS sim
+FROM r WHERE rank <= 3
+"""
 
 
 # ===========================================================================
@@ -1027,11 +1143,10 @@ def oracle_sql() -> dict[str, str]:
         "polyline_roundtrip": _sql_polyline_roundtrip(),
         "image_roundtrip": _SQL_IMAGE_ROUNDTRIP,
         "image_resize": _sql_image_resize(),
-        # color_dissolve: grid connected-component dissolve — not
-        # SQL-expressible; driver records the rows-only check and the
-        # exact oracle lives in tests/test_geometry_dissolve.py.
+        "color_dissolve": _sql_color_dissolve(),
         "token_stats": _SQL_TOKEN_STATS,
         "embed_neardup": _SQL_EMBED_NEARDUP,
-        # ann_lsh: seeded-numpy random hyperplanes — rows-only.
+        "ann_lsh": _sql_ann_lsh(),
+        "ann_ivf": _sql_ann_ivf(),
         "simhash_pairs": _sql_simhash_pairs(),
     }

@@ -82,6 +82,39 @@ def _point_in_loop(px: float, py: float, loop) -> bool:
     return inside
 
 
+def _dense_grid(gx: np.ndarray, gy: np.ndarray):
+    """Boolean occupancy grid over the cell bbox + its origin."""
+    x0 = int(gx.min())
+    y0 = int(gy.min())
+    g = np.zeros((int(gy.max()) - y0 + 1, int(gx.max()) - x0 + 1), dtype=bool)
+    g[gy - y0, gx - x0] = True
+    return g, x0, y0
+
+
+def _boundary_edges(gx: np.ndarray, gy: np.ndarray) -> set[tuple[int, int, int, int]]:
+    """Directed boundary edges (interior on the LEFT) — numpy boolean-shift
+    masks over the dense local grid, O(bbox) vectorized instead of the
+    former per-pixel Python set membership (continental bands made that
+    the slowest kernel in the engine)."""
+    g, x0, y0 = _dense_grid(gx, gy)
+    p = np.pad(g, 1)
+    inner = p[1:-1, 1:-1]
+    edges: set[tuple[int, int, int, int]] = set()
+
+    def emit(mask: np.ndarray, dx1: int, dy1: int, dx2: int, dy2: int) -> None:
+        ys, xs = np.nonzero(mask)
+        xs = xs + x0
+        ys = ys + y0
+        for x, y in zip(xs.tolist(), ys.tolist()):
+            edges.add((x + dx1, y + dy1, x + dx2, y + dy2))
+
+    emit(inner & ~p[:-2, 1:-1], 0, 0, 1, 0)    # top, no cell at (x, y-1)
+    emit(inner & ~p[1:-1, 2:], 1, 0, 1, 1)     # right
+    emit(inner & ~p[2:, 1:-1], 1, 1, 0, 1)     # bottom
+    emit(inner & ~p[1:-1, :-2], 0, 1, 0, 0)    # left
+    return edges
+
+
 def dissolve_pixels(gx: np.ndarray, gy: np.ndarray):
     """Union of unit squares at integer grid cells (gx, gy).
 
@@ -89,18 +122,7 @@ def dissolve_pixels(gx: np.ndarray, gy: np.ndarray):
     (first = outer shell CCW, rest = holes CW); each ring is a list of
     integer (x, y) grid-corner vertices, closed (first == last).
     """
-    cells = set(zip(map(int, gx), map(int, gy)))
-    edges: set[tuple[int, int, int, int]] = set()
-    for x, y in cells:
-        if (x, y - 1) not in cells:
-            edges.add((x, y, x + 1, y))           # top, interior below-left
-        if (x + 1, y) not in cells:
-            edges.add((x + 1, y, x + 1, y + 1))   # right
-        if (x, y + 1) not in cells:
-            edges.add((x + 1, y + 1, x, y + 1))   # bottom
-        if (x - 1, y) not in cells:
-            edges.add((x, y + 1, x, y))           # left
-    loops = _trace_loops(edges)
+    loops = _trace_loops(_boundary_edges(np.asarray(gx), np.asarray(gy)))
     shells = [(lp, _signed_area2(lp)) for lp in loops if _signed_area2(lp) > 0]
     holes = [(lp, _signed_area2(lp)) for lp in loops if _signed_area2(lp) < 0]
 
@@ -122,6 +144,63 @@ def dissolve_pixels(gx: np.ndarray, gy: np.ndarray):
             rings.append(h + [h[0]])
         out.append(rings)
     return out
+
+
+def _n_components(g: np.ndarray, conn: int) -> int:
+    """Connected components of a boolean grid (conn ∈ {4, 8}) — adjacency
+    pairs extracted with numpy shifts, merged with union-find.  Python
+    touches only the O(#adjacencies) pair list, never the full grid.
+
+    Scale note: band groups are bounded by a single polygon's pixel
+    count (the operator shards by (poly_id, height_base)); the 100 TB
+    path keeps per-group labeling local exactly because of that bound.
+    """
+    n = int(g.sum())
+    if n == 0:
+        return 0
+    idx = np.full(g.shape, -1, dtype=np.int64)
+    idx[g] = np.arange(n)
+    parent = np.arange(n)
+
+    def find(a: int) -> int:
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    shifts = [((slice(None), slice(None, -1)), (slice(None), slice(1, None))),
+              ((slice(None, -1), slice(None)), (slice(1, None), slice(None)))]
+    if conn == 8:
+        shifts += [((slice(None, -1), slice(None, -1)), (slice(1, None), slice(1, None))),
+                   ((slice(None, -1), slice(1, None)), (slice(1, None), slice(None, -1)))]
+    for sa, sb in shifts:
+        m = g[sa] & g[sb]
+        for a, b in zip(idx[sa][m].tolist(), idx[sb][m].tolist()):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[rb] = ra
+    return len({find(a) for a in range(n)})
+
+
+def label_counts(gx: np.ndarray, gy: np.ndarray) -> tuple[int, int, int, int]:
+    """(C4, C8, H4, H8) for the cell set: foreground components under 4-
+    and 8-connectivity, and background holes under 4- and 8-connectivity
+    (bounded background components inside a 1-cell-padded bbox, minus
+    the single outer component).
+
+    These are the Euler-number building blocks — Gray's quad-count
+    formula gives χ4 = C4 − H8 = (Q1 − Q3 + 2·QD)/4 and
+    χ8 = C8 − H4 = (Q1 − Q3 − 2·QD)/4, which is how the SQL oracle
+    verifies the dissolve (contract query ``color_dissolve``).
+    """
+    g, _, _ = _dense_grid(np.asarray(gx), np.asarray(gy))
+    bg = ~np.pad(g, 1)
+    return (
+        _n_components(g, 4),
+        _n_components(g, 8),
+        _n_components(bg, 4) - 1,
+        _n_components(bg, 8) - 1,
+    )
 
 
 def dissolve_area_px(polys) -> float:

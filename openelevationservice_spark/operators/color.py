@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..constants import NUM_RANGES, PX, WORLD_X0, WORLD_Y0
-from ..functions.dissolve import _signed_area2, dissolve_pixels
+from ..functions.dissolve import _signed_area2, dissolve_pixels, label_counts
 from .polygon import polygon_pixels
 
 
@@ -131,6 +131,83 @@ def polygon_color_features(polygons_df: DataFrame, images_df: DataFrame,
         banded.select("poly_id", "height_base", "gx", "gy")
         .repartition("poly_id")
         .mapInPandas(_dissolve_partition, schema=FEATURE_SCHEMA)
+    )
+
+
+INVARIANT_SCHEMA = T.StructType(
+    [
+        T.StructField("poly_id", T.LongType()),
+        T.StructField("height_base", T.LongType()),
+        T.StructField("area_px", T.LongType()),
+        T.StructField("euler4", T.LongType()),
+        T.StructField("euler8", T.LongType()),
+    ]
+)
+
+
+def _invariants_group(pdf: pd.DataFrame) -> dict:
+    """Dissolve one (poly_id, height_base) band and reduce it to three
+    SQL-checkable invariants:
+
+    - ``area_px``  — Σ shoelace area of the traced rings (holes negative);
+      equals the band's pixel count iff the ring tracer is exact.
+    - ``euler4``   — C4 − H8 = Gray quad formula (Q1 − Q3 + 2·QD)/4.
+    - ``euler8``   — C8 − H4 = (Q1 − Q3 − 2·QD)/4.
+
+    The loop tracer and the independent grid labeling are cross-asserted
+    here (shells == C4; GEOS-convention ring holes ∈ [H8, H4] — a
+    pinch-ring-enclosed background region is H4-bounded but not a GEOS
+    hole, property-tested in tests/test_geometry_dissolve.py), so a bug
+    in either kernel fails the query instead of shipping wrong rings.
+    """
+    gx = pdf["gx"].to_numpy(np.int64)
+    gy = pdf["gy"].to_numpy(np.int64)
+    polys = dissolve_pixels(gx, gy)
+    n_shells = len(polys)
+    n_holes = sum(len(rings) - 1 for rings in polys)
+    area2 = sum(_signed_area2(r[:-1]) for rings in polys for r in rings)
+    c4, c8, h4, h8 = label_counts(gx, gy)
+    if c4 != n_shells or not (h8 <= n_holes <= h4) or area2 % 2:
+        raise AssertionError(
+            f"dissolve/labeling mismatch: shells={n_shells} C4={c4} "
+            f"ring_holes={n_holes} H4={h4} H8={h8} area2={area2}"
+        )
+    return {
+        "poly_id": int(pdf["poly_id"].iloc[0]),
+        "height_base": int(pdf["height_base"].iloc[0]),
+        "area_px": area2 // 2,
+        "euler4": c4 - h8,
+        "euler8": c8 - h4,
+    }
+
+
+def _invariants_partition(batches):
+    pdfs = [pdf for pdf in batches if len(pdf)]
+    if not pdfs:
+        yield pd.DataFrame(columns=[f.name for f in INVARIANT_SCHEMA.fields])
+        return
+    all_rows = pd.concat(pdfs, ignore_index=True)
+    yield pd.DataFrame(
+        [_invariants_group(g)
+         for _, g in all_rows.groupby(["poly_id", "height_base"], sort=False)],
+        columns=[f.name for f in INVARIANT_SCHEMA.fields],
+    )
+
+
+def polygon_color_invariants(polygons_df: DataFrame, images_df: DataFrame,
+                             num_ranges: int = NUM_RANGES,
+                             index_strategy: str = "broadcast") -> DataFrame:
+    """Per-band dissolve invariants (poly_id, height_base, area_px,
+    euler4, euler8) — the oracle-checkable face of the dissolve (G3).
+    Same plan shape as :func:`polygon_color_features`."""
+    pixels = polygon_pixels(polygons_df, images_df, index_strategy=index_strategy)
+    pixels.persist()
+    stats = polygon_stats(pixels)
+    banded = with_height_base(pixels, stats, num_ranges)
+    return (
+        banded.select("poly_id", "height_base", "gx", "gy")
+        .repartition("poly_id")
+        .mapInPandas(_invariants_partition, schema=INVARIANT_SCHEMA)
     )
 
 

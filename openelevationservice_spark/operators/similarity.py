@@ -1,13 +1,29 @@
 """Similarity search over embedding columns (array<float>).
 
 Brute-force cosine top-k as the exact baseline (JVM-side
-``zip_with``/``aggregate`` fold — no Python), and an LSH-bucketed
-variant as the scale path (random-hyperplane signs computed once per
-batch in an Arrow pandas UDF, then bucket-local brute force — the
-candidate join is an equi-join on the bucket key, never a cross join).
+``zip_with``/``aggregate`` fold — no Python), LSH and IVF bucketed
+variants as the approximate scale paths (candidate joins are equi-joins
+on bucket/list keys, never cross joins), and an **exact** all-pairs
+nearest-neighbor built on IVF triangle-inequality pruning
+(:func:`exact_nn`) — the scale-safe embedding near-dup operator.
+
+Determinism: LSH hyperplanes and IVF centroids are derived from md5 /
+deterministic k-means, so an external engine (the DuckDB oracle) can
+reproduce bucketing bit-for-bit from injected literals.  All similarity
+values are sequential-fold doubles (same IEEE-754 result in the JVM, in
+DuckDB's ``list_reduce``, and in the reference semantics).
+
+Top-k extraction is a salted two-stage window: a first ``row_number``
+over (query, salt) prunes each of P balanced reducers to k rows, the
+final per-query window ranks only P·k survivors — the full score set
+never funnels through ≤|queries| partitions (that was a straggler by
+construction at 100× corpus).
 """
 
 from __future__ import annotations
+
+import hashlib
+import math
 
 import numpy as np
 import pandas as pd
@@ -32,14 +48,41 @@ def cosine_similarity_col(a, b):
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def topk_per_query(scored: DataFrame, k: int, query_id: str, corpus_id: str,
+                   sim_col: str = "sim", n_salts: int | None = None) -> DataFrame:
+    """Two-stage top-k: salted partial ``row_number`` then final window.
+
+    Stage 1 partitions by (query, hash-salt of the corpus id) so the
+    heavy shuffle spreads over |queries|·P reducers instead of
+    |queries|; stage 2 ranks only the ≤ P·k survivors per query.  Output
+    is identical to a single per-query window (the true top-k rows are
+    each top-k within their salt slice).
+    """
+    if n_salts is None:
+        n_salts = scored.sparkSession.sparkContext.defaultParallelism
+    order = [F.desc(sim_col), F.col(corpus_id)]
+    w1 = Window.partitionBy(query_id, "_salt").orderBy(*order)
+    pruned = (
+        scored.withColumn("_salt", F.pmod(F.xxhash64(F.col(corpus_id)), F.lit(n_salts)))
+        .withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= k)
+        .drop("_salt", "_r1")
+    )
+    w2 = Window.partitionBy(query_id).orderBy(*order)
+    return (
+        pruned.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def cosine_topk(corpus_df: DataFrame, queries_df: DataFrame, k: int = 3,
                 corpus_id: str = "vec_id", corpus_vec: str = "embedding",
                 query_id: str = "q_id", query_vec: str = "q_vec") -> DataFrame:
     """Exact brute-force top-k: (q_id, rank, vec_id, sim).
 
     The query side is broadcast (it is small by construction); the scan
-    over the corpus is embarrassingly parallel, the only shuffle is the
-    final per-query top-k window.
+    over the corpus is embarrassingly parallel; top-k goes through the
+    salted two-stage window (no per-query funnel).
     """
     vec_d = F.transform(F.col(corpus_vec), lambda x: x.cast("double"))
     qvec_d = F.transform(F.col(query_vec), lambda x: x.cast("double"))
@@ -47,27 +90,61 @@ def cosine_topk(corpus_df: DataFrame, queries_df: DataFrame, k: int = 3,
     q = queries_df.select(F.col(query_id), qvec_d.alias("_qv"))
     j = c.crossJoin(F.broadcast(q))
     j = j.withColumn("sim", cosine_similarity_col(F.col("_cv"), F.col("_qv")))
-    w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.col(corpus_id))
-    return (
-        j.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id, "rank", corpus_id, "sim")
+    return topk_per_query(j, k, query_id, corpus_id).select(
+        query_id, "rank", corpus_id, "sim"
     )
 
 
-def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
-    rng = np.random.default_rng(seed)
-    return rng.standard_normal((n_planes, dim))
+# --- LSH (random-hyperplane signs) -----------------------------------------
+
+def deterministic_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[int]]:
+    """Integer hyperplanes from md5 bytes (uniform in [-128, 127]) —
+    reproducible by ANY engine from the (seed, plane, counter) recipe,
+    which is what lets the DuckDB oracle re-derive LSH buckets as plain
+    literals (a seeded numpy RNG was not reproducible in SQL)."""
+    planes: list[list[int]] = []
+    for p in range(n_planes):
+        vals: list[int] = []
+        ctr = 0
+        while len(vals) < dim:
+            h = hashlib.md5(f"{seed}:{p}:{ctr}".encode()).digest()
+            vals.extend(b - 128 for b in h)
+            ctr += 1
+        planes.append(vals[:dim])
+    return planes
+
+
+def _plane_matrix(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    return np.asarray(deterministic_hyperplanes(dim, n_planes, seed), dtype=np.float64)
 
 
 def with_lsh_bucket(df: DataFrame, vec_col: str = "embedding",
                     n_planes: int = 8, seed: int = 42,
-                    bucket_col: str = "bucket") -> DataFrame:
-    """Random-hyperplane LSH bucket id — one Arrow UDF, vectorized matmul."""
+                    bucket_col: str = "bucket", method: str = "arrow",
+                    dim: int | None = None) -> DataFrame:
+    """Random-hyperplane LSH bucket id.
+
+    ``method="arrow"``: one vectorized numpy matmul per batch (the scale
+    path).  ``method="jvm"``: per-plane sequential-fold dot products as
+    Columns — bit-identical to the SQL oracle's ``list_reduce`` (the
+    arrow matmul could round a near-zero dot to the other sign), used by
+    the driver-contract query; requires ``dim``.
+    """
+    if method == "jvm":
+        if dim is None:
+            raise ValueError("jvm bucket method requires dim")
+        planes = deterministic_hyperplanes(dim, n_planes, seed)
+        vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        bucket = F.lit(0)
+        for p, plane in enumerate(planes):
+            lits = F.array(*[F.lit(float(c)) for c in plane])
+            bucket = bucket + F.when(_dot(vec_d, lits) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        return df.withColumn(bucket_col, bucket.cast("int"))
+
     @F.pandas_udf(T.IntegerType())
     def bucket(v: pd.Series) -> pd.Series:
-        mat = np.stack(v.to_numpy())  # (n, dim)
-        planes = _hyperplanes(mat.shape[1], n_planes, seed)  # (p, dim)
+        mat = np.stack(v.to_numpy()).astype(np.float64)  # (n, dim)
+        planes = _plane_matrix(mat.shape[1], n_planes, seed)  # (p, dim)
         signs = (mat @ planes.T) > 0  # (n, p)
         return pd.Series((signs * (1 << np.arange(n_planes))).sum(axis=1).astype(np.int32))
 
@@ -77,7 +154,8 @@ def with_lsh_bucket(df: DataFrame, vec_col: str = "embedding",
 def lsh_ann_topk(corpus_df: DataFrame, queries_df: DataFrame, k: int = 3,
                  n_planes: int = 8, seed: int = 42, probe_bits: int = 1,
                  corpus_id: str = "vec_id", corpus_vec: str = "embedding",
-                 query_id: str = "q_id", query_vec: str = "q_vec") -> DataFrame:
+                 query_id: str = "q_id", query_vec: str = "q_vec",
+                 method: str = "arrow", dim: int | None = None) -> DataFrame:
     """Approximate top-k: bucket-equi-join + bucket-local brute force.
 
     ``probe_bits`` = multi-probe: each query also probes buckets at
@@ -85,10 +163,12 @@ def lsh_ann_topk(corpus_df: DataFrame, queries_df: DataFrame, k: int = 3,
     knob).  Candidate volume ~ corpus/2^p per probe — scale path.
     """
     c = with_lsh_bucket(
-        corpus_df.select(corpus_id, corpus_vec), corpus_vec, n_planes, seed
+        corpus_df.select(corpus_id, corpus_vec), corpus_vec, n_planes, seed,
+        method=method, dim=dim,
     )
     q = with_lsh_bucket(
-        queries_df.select(query_id, F.col(query_vec)), query_vec, n_planes, seed
+        queries_df.select(query_id, F.col(query_vec)), query_vec, n_planes, seed,
+        method=method, dim=dim,
     )
     probes = [F.col("bucket")] + [
         F.col("bucket").bitwiseXOR(F.lit(1 << b)) for b in range(probe_bits)
@@ -102,11 +182,8 @@ def lsh_ann_topk(corpus_df: DataFrame, queries_df: DataFrame, k: int = 3,
               "cbucket")
     )
     j = j.withColumn("sim", cosine_similarity_col(F.col("_cv"), F.col("_qv")))
-    w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.col(corpus_id))
-    return (
-        j.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id, "rank", corpus_id, "sim")
+    return topk_per_query(j, k, query_id, corpus_id).select(
+        query_id, "rank", corpus_id, "sim"
     )
 
 
@@ -123,7 +200,7 @@ def ivf_train_centroids(corpus_df: DataFrame, vec_col: str = "embedding",
     sample is still ``sample_n``; only assignment is distributed.
     Initialization is the first ``n_centroids`` sample rows (seed-free,
     deterministic); empty clusters are re-seeded from the row with the
-    worst quantization error.
+    worst quantization error.  Centroids are unit-norm.
     """
     pdf = (corpus_df.select(id_col, vec_col).orderBy(id_col)
            .limit(sample_n).toPandas())
@@ -145,10 +222,36 @@ def ivf_train_centroids(corpus_df: DataFrame, vec_col: str = "embedding",
     return cent
 
 
+def _centroid_dot_cols(vec_d, centroids: np.ndarray) -> list:
+    """Per-centroid sequential-fold dot products as Columns (the JVM twin
+    of the arrow matmul; bit-identical to DuckDB ``list_reduce``).
+    argmax over dots == argmax over cosines (norms don't change it)."""
+    cols = []
+    for c in centroids:
+        lits = F.array(*[F.lit(float(v)) for v in c])
+        cols.append(_dot(vec_d, lits))
+    return cols
+
+
 def ivf_assign(df: DataFrame, centroids: np.ndarray, vec_col: str,
-               nprobe: int = 1, list_col: str = "ivf_list") -> DataFrame:
-    """Attach the ``nprobe`` nearest inverted-list ids (one Arrow matmul
-    per batch; exploded so the join below is a plain equi-join)."""
+               nprobe: int = 1, list_col: str = "ivf_list",
+               method: str = "arrow") -> DataFrame:
+    """Attach the ``nprobe`` nearest inverted-list ids (exploded so the
+    join below is a plain equi-join).
+
+    ``method="arrow"`` = one numpy matmul per batch (scale path);
+    ``method="jvm"`` = per-centroid fold dots + struct-sort, the
+    oracle-parity path (ties broken by lowest centroid id in both).
+    """
+    if method == "jvm":
+        vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        dots = _centroid_dot_cols(vec_d, centroids)
+        ranked = F.sort_array(F.array(*[
+            F.struct((-d).alias("nd"), F.lit(i).alias("i")) for i, d in enumerate(dots)
+        ]))
+        lists = F.transform(F.slice(ranked, 1, nprobe), lambda s: s["i"].cast("int"))
+        return df.withColumn(list_col, F.explode(lists))
+
     cent = centroids  # closure-captured; broadcast with the UDF
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
@@ -166,7 +269,8 @@ def ivf_topk(corpus_df: DataFrame, queries_df: DataFrame, k: int = 3,
              n_centroids: int = 16, nprobe: int = 4, iters: int = 5,
              corpus_id: str = "vec_id", corpus_vec: str = "embedding",
              query_id: str = "q_id", query_vec: str = "q_vec",
-             centroids: np.ndarray | None = None) -> DataFrame:
+             centroids: np.ndarray | None = None,
+             method: str = "arrow") -> DataFrame:
     """IVF approximate top-k: corpus rows live in exactly one inverted
     list; each query probes its ``nprobe`` nearest lists and brute-forces
     only those lists (equi-join on list id — candidate volume ~
@@ -180,16 +284,134 @@ def ivf_topk(corpus_df: DataFrame, queries_df: DataFrame, k: int = 3,
     vec_d = F.transform(F.col(corpus_vec), lambda x: x.cast("double"))
     qvec_d = F.transform(F.col(query_vec), lambda x: x.cast("double"))
     c = ivf_assign(
-        corpus_df.select(corpus_id, vec_d.alias("_cv")), centroids, "_cv", nprobe=1
+        corpus_df.select(corpus_id, vec_d.alias("_cv")), centroids, "_cv",
+        nprobe=1, method=method,
     )
     q = ivf_assign(
-        queries_df.select(query_id, qvec_d.alias("_qv")), centroids, "_qv", nprobe=nprobe
+        queries_df.select(query_id, qvec_d.alias("_qv")), centroids, "_qv",
+        nprobe=nprobe, method=method,
     )
     j = c.join(F.broadcast(q), "ivf_list")
     j = j.withColumn("sim", cosine_similarity_col(F.col("_cv"), F.col("_qv")))
-    w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.col(corpus_id))
-    return (
-        j.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id, "rank", corpus_id, "sim")
+    return topk_per_query(j, k, query_id, corpus_id).select(
+        query_id, "rank", corpus_id, "sim"
     )
+
+
+def ivf_seed_centroids(corpus_df: DataFrame, vec_col: str = "embedding",
+                       id_col: str = "vec_id", n_centroids: int = 16) -> np.ndarray:
+    """Zero-iteration quantizer: the normalized first ``n_centroids``
+    vectors by id.  Normalization uses a sequential-fold sum of squares
+    (Python loop, NOT numpy pairwise summation) so an external SQL
+    engine's ``list_reduce`` reproduces every centroid bit-for-bit —
+    this is the quantizer the oracle-checked contract query uses; the
+    k-means quantizer (:func:`ivf_train_centroids`) is the production
+    default and is unit-tested against full-probe brute force.
+    """
+    pdf = (corpus_df.select(id_col, vec_col).orderBy(id_col)
+           .limit(n_centroids).toPandas())
+    out = []
+    for vec in pdf[vec_col]:
+        v = [float(x) for x in vec]
+        s = 0.0
+        for x in v:
+            s += x * x
+        nrm = math.sqrt(s)   # IEEE sqrt, not pow(s, 0.5) — matches SQL sqrt()
+        out.append([x / nrm for x in v])
+    return np.asarray(out, dtype=np.float64)
+
+
+# --- exact all-pairs NN via IVF triangle-inequality pruning -----------------
+
+def exact_nn(corpus_df: DataFrame, id_col: str = "vec_id",
+             vec_col: str = "embedding", n_centroids: int = 16,
+             iters: int = 5, margin: float = 1e-9) -> DataFrame:
+    """Exact nearest neighbor for EVERY corpus vector — scale-safe.
+
+    The all-pairs cross join is replaced by two equi-join phases with a
+    provable pruning bound (standard exact IVF search, distributed):
+
+    1. vectors are assigned to their nearest of k centroids (one arrow
+       matmul); phase 1 scores only same-list pairs → per-vector best
+       candidate ``s1``;
+    2. the angular triangle inequality θ(q,x) ≥ θ(q,c_l) − θmax_l gives
+       per-list upper bound ``cos(max(0, θ(q,c_l) − θmax_l))`` on any
+       sim in list l; lists whose bound can't beat ``s1`` are pruned
+       (``margin`` absorbs float slop — pruning errs to MORE candidates,
+       never fewer, so the result stays exact).  Survivor lists are
+       scored through a plain (vector × list) equi-join.
+
+    Final sims are sequential-fold doubles — bit-identical to the
+    brute-force oracle; only *which pairs get scored* is data-dependent.
+    Returns (id, nn_id, sim) with deterministic lowest-id tie-break.
+    """
+    centroids = ivf_train_centroids(corpus_df, vec_col, id_col, n_centroids, iters)
+    cent = centroids
+    k = len(centroids)
+
+    sims_schema = T.StructType([
+        T.StructField("own", T.IntegerType()),
+        T.StructField("csims", T.ArrayType(T.DoubleType())),
+    ])
+
+    @F.pandas_udf(sims_schema)
+    def centroid_sims(v: pd.Series) -> pd.DataFrame:
+        mat = np.stack(v.to_numpy()).astype(np.float64)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        s = mat @ cent.T                          # (n, k) cosines
+        return pd.DataFrame({
+            "own": s.argmax(axis=1).astype(np.int32),
+            "csims": list(s),
+        })
+
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    assigned = (
+        corpus_df.select(F.col(id_col).alias("_id"), vec_d.alias("_v"))
+        .withColumn("_cs", centroid_sims(F.col("_v")))
+        .select("_id", "_v", F.col("_cs.own").alias("_own"),
+                F.col("_cs.csims").alias("_csims"))
+    )
+    assigned.persist()
+
+    # per-list max angle to its centroid (tiny: k rows, broadcast below)
+    theta_own = F.acos(F.least(F.lit(1.0), F.greatest(
+        F.lit(-1.0), F.element_at("_csims", F.col("_own") + 1))))
+    list_stats = (
+        assigned.select(F.col("_own").alias("_l"), theta_own.alias("_th"))
+        .groupBy("_l").agg(F.max("_th").alias("_theta_max"))
+    )
+
+    q = assigned.select(F.col("_id").alias("_qid"), F.col("_v").alias("_qv"),
+                        F.col("_own").alias("_qown"), "_csims")
+    c = assigned.select(F.col("_id").alias("_cid"), F.col("_v").alias("_cv"),
+                        F.col("_own").alias("_l"))
+
+    # phase 1: same-list candidates
+    cand1 = (
+        q.withColumn("_l", F.col("_qown")).join(c, "_l")
+        .filter(F.col("_qid") != F.col("_cid"))
+        .select("_qid", "_cid",
+                cosine_similarity_col(F.col("_qv"), F.col("_cv")).alias("sim"))
+    )
+    cand1.persist()
+    s1 = cand1.groupBy("_qid").agg(F.max("sim").alias("_s1"))
+
+    # phase 2: lists whose bound survives s1 (vectors alone in their list
+    # have no s1 → coalesce(-1) keeps every list = the rescue path)
+    theta_q = F.acos(F.least(F.lit(1.0), F.greatest(F.lit(-1.0), F.col("_csim"))))
+    bound = F.cos(F.greatest(F.lit(0.0), theta_q - F.col("_theta_max")))
+    probes = (
+        q.select("_qid", "_qv", "_qown", F.posexplode("_csims").alias("_l", "_csim"))
+        .join(F.broadcast(list_stats), "_l")
+        .join(s1, "_qid", "left")
+        .filter((F.col("_l") != F.col("_qown"))
+                & (bound >= F.coalesce(F.col("_s1"), F.lit(-1.0)) - F.lit(margin)))
+        .select("_qid", "_qv", "_l")
+    )
+    cand2 = probes.join(c, "_l").select(
+        "_qid", "_cid",
+        cosine_similarity_col(F.col("_qv"), F.col("_cv")).alias("sim"),
+    )
+
+    best = topk_per_query(cand1.unionByName(cand2), 1, "_qid", "_cid")
+    return best.select(F.col("_qid").alias(id_col), F.col("_cid").alias("nn_id"), "sim")

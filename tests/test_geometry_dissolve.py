@@ -68,3 +68,36 @@ def test_dissolve_big_random_area_matches_count():
     gy = np.array([p[1] for p in pts])
     polys = dissolve_pixels(gx, gy)
     assert dissolve_area_px(polys) == float(len(pts))
+
+
+def test_label_counts_basic():
+    from openelevationservice_spark.functions.dissolve import label_counts
+    # single cell
+    assert label_counts(np.array([0]), np.array([0])) == (1, 1, 0, 0)
+    # two diagonal cells: 2 comps at 4-conn, 1 at 8-conn, no holes
+    assert label_counts(np.array([0, 1]), np.array([0, 1])) == (2, 1, 0, 0)
+    # 3x3 ring with centre hole
+    ys, xs = np.nonzero(np.array([[1, 1, 1], [1, 0, 1], [1, 1, 1]]))
+    assert label_counts(xs, ys) == (1, 1, 1, 1)
+
+
+def test_loops_match_labeling_random_grids():
+    """Property: traced shells == C4; GEOS ring holes ∈ [H8, H4];
+    shoelace area == pixel count — on 300 random grids."""
+    from openelevationservice_spark.functions.dissolve import (
+        _signed_area2, dissolve_pixels, label_counts)
+    rng = np.random.default_rng(7)
+    for _ in range(300):
+        h, w = rng.integers(1, 11, 2)
+        g = rng.random((h, w)) < rng.uniform(0.2, 0.85)
+        if not g.any():
+            continue
+        gy, gx = np.nonzero(g)
+        polys = dissolve_pixels(gx, gy)
+        n_shells = len(polys)
+        n_holes = sum(len(r) - 1 for r in polys)
+        area2 = sum(_signed_area2(r[:-1]) for rings in polys for r in rings)
+        c4, c8, h4, h8 = label_counts(gx, gy)
+        assert c4 == n_shells
+        assert h8 <= n_holes <= h4
+        assert area2 == 2 * len(gx)

@@ -106,3 +106,69 @@ def test_ivf_partial_probe_recall(spark, corpus, corpus_pdf):
         total += 5
     assert top1 == len(qs)
     assert hits / total >= 0.6
+
+
+def test_deterministic_hyperplanes_stable():
+    a = sim.deterministic_hyperplanes(16, 4, seed=42)
+    b = sim.deterministic_hyperplanes(16, 4, seed=42)
+    assert a == b
+    assert all(-128 <= v <= 127 for p in a for v in p)
+    assert a != sim.deterministic_hyperplanes(16, 4, seed=7)
+
+
+def test_lsh_bucket_jvm_matches_arrow(spark, corpus):
+    jvm = sim.with_lsh_bucket(corpus, n_planes=6, method="jvm", dim=16).toPandas()
+    arrow = sim.with_lsh_bucket(corpus, n_planes=6, method="arrow").toPandas()
+    m = jvm.merge(arrow, on="vec_id", suffixes=("_j", "_a"))
+    assert (m.bucket_j == m.bucket_a).all()
+
+
+def test_ivf_assign_jvm_matches_arrow(spark, corpus):
+    cent = sim.ivf_seed_centroids(corpus, n_centroids=8)
+    j = sim.ivf_assign(corpus, cent, "embedding", nprobe=3, method="jvm").toPandas()
+    a = sim.ivf_assign(corpus, cent, "embedding", nprobe=3, method="arrow").toPandas()
+    key = ["vec_id", "ivf_list"]
+    assert sorted(map(tuple, j[key].values.tolist())) == \
+        sorted(map(tuple, a[key].values.tolist()))
+
+
+def test_exact_nn_matches_brute_force(spark, corpus, corpus_pdf):
+    """exact_nn (IVF triangle-inequality pruning) must equal all-pairs."""
+    got = sim.exact_nn(corpus, n_centroids=8).toPandas().sort_values("vec_id")
+    mat = np.stack([np.array(v, np.float64) for v in corpus_pdf["embedding"]])
+    matn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = matn @ matn.T
+    np.fill_diagonal(sims, -2.0)
+    for _, r in got.iterrows():
+        i = int(r.vec_id)
+        order = np.lexsort((np.arange(len(mat)), -sims[i]))
+        assert int(r.nn_id) == int(order[0]), f"vec {i}"
+        assert r.sim == pytest.approx(sims[i][order[0]], abs=1e-9)
+    assert len(got) == len(corpus_pdf)
+
+
+def test_exact_nn_plan_has_no_cartesian_product(spark, corpus):
+    plan = sim.exact_nn(corpus, n_centroids=8)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_topk_per_query_equals_single_window(spark, corpus):
+    """The salted two-stage top-k is output-identical to one window."""
+    from pyspark.sql import Window, functions as F
+    q = corpus.limit(4).select(F.col("vec_id").alias("q_id"),
+                               F.col("embedding").alias("q_vec"))
+    got = sim.cosine_topk(corpus, q, k=7).toPandas()
+    vec_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    qvec_d = F.transform(F.col("q_vec"), lambda x: x.cast("double"))
+    j = (corpus.select("vec_id", vec_d.alias("_cv"))
+         .crossJoin(F.broadcast(q.select("q_id", qvec_d.alias("_qv"))))
+         .withColumn("sim", sim.cosine_similarity_col(F.col("_cv"), F.col("_qv"))))
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.col("vec_id"))
+    want = (j.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 7)
+            .select("q_id", "rank", "vec_id", "sim").toPandas())
+    key = ["q_id", "rank"]
+    got = got.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["q_id", "rank", "vec_id"]],
+                                  want[["q_id", "rank", "vec_id"]])
