@@ -36,6 +36,16 @@ MAXIMUM_NODES = 2000  # reference ops_settings.sample.yml:4
 FORMATS_IN = ("geojson", "point", "polyline", "polygon",
               "encodedpolyline", "encodedpolyline5", "encodedpolyline6")
 FORMATS_OUT = ("geojson", "point", "polyline", "encodedpolyline", "colorpolygon")
+DATASETS = ("srtm",)  # reference validator.py:14-23 (``dataset ∈ [srtm]``)
+
+
+def validate_dataset(dataset: str) -> str:
+    """Request ``dataset`` parameter (V1): unknown values are a schema
+    validation failure → 4000, mirroring Cerberus ``allowed`` semantics
+    (reference validator.py:14-23; views raise InvalidUsage 4000)."""
+    if dataset not in DATASETS:
+        raise _err_value(f"Invalid dataset value: {dataset}")
+    return dataset
 
 
 class ApiError(Exception):
@@ -185,7 +195,8 @@ class ElevationService:
 
     # -- POST/GET /elevation/point (views.py:128-189) ----------------------
     def point(self, geometry, format_in: str = "point",
-              format_out: str = "geojson") -> dict:
+              format_out: str = "geojson", dataset: str = "srtm") -> dict:
+        validate_dataset(dataset)
         gtype, coords = parse_geometry(geometry, format_in)
         if gtype != "Point":
             raise _err_geometry("Point endpoint requires a Point geometry")
@@ -210,26 +221,32 @@ class ElevationService:
             raise _err_value(f"Invalid format_out value: {format_out}")
         return _response(geom)
 
-    def point_get(self, geometry_text: str, format_out: str = "geojson") -> dict:
+    def point_get(self, geometry_text: str, format_out: str = "geojson",
+                  dataset: str = "srtm") -> dict:
         lon, lat = parse_get_geometry(geometry_text)
-        return self.point([lon, lat], "point", format_out)
+        return self.point([lon, lat], "point", format_out, dataset)
 
     # -- POST /elevation/line (views.py:71-125) -----------------------------
     def line(self, geometry, format_in: str = "geojson",
-             format_out: str = "geojson", strict_two_vertex: bool = True) -> dict:
+             format_out: str = "geojson", strict_two_vertex: bool = True,
+             dataset: str = "srtm") -> dict:
+        validate_dataset(dataset)
         gtype, coords = parse_geometry(geometry, format_in)
         if gtype != "LineString":
             raise _err_geometry("Line endpoint requires a LineString geometry")
+        if len(coords) > MAXIMUM_NODES:
+            # V5: maximum_nodes is configured+tested in the reference but
+            # enforced nowhere; we enforce it (LimitError 4003).  Checked
+            # BEFORE the two-vertex guard so oversized inputs get 4003 in
+            # strict mode too (the reference test_api_line.py:90-97
+            # expects 4003 for a 2001-node polyline).
+            raise _err_limit(
+                f"Maximum number of nodes exceeded: {len(coords)} > {MAXIMUM_NODES}"
+            )
         if strict_two_vertex and len(coords) != 2:
             # querybuilder.py:194-195 (reference 4002-rejects n != 2)
             raise _err_geometry(
                 "Only LineString with exactly 2 points are supported"
-            )
-        if len(coords) > MAXIMUM_NODES:
-            # V5: maximum_nodes is configured+tested in the reference but
-            # enforced nowhere; we enforce it (LimitError 4003)
-            raise _err_limit(
-                f"Maximum number of nodes exceeded: {len(coords)} > {MAXIMUM_NODES}"
             )
         (x1, y1), (x2, y2) = coords[0], coords[-1]
         lines = self.spark.createDataFrame(
@@ -270,7 +287,9 @@ class ElevationService:
         return _response(geom)
 
     # -- gRPC AreaPointsElevation (grpc_server.py:79-91) --------------------
-    def polygon(self, geometry, format_in: str = "polygon") -> dict:
+    def polygon(self, geometry, format_in: str = "polygon",
+                dataset: str = "srtm") -> dict:
+        validate_dataset(dataset)
         gtype, ring = parse_geometry(geometry, format_in)
         if gtype != "Polygon":
             raise _err_geometry("Polygon endpoint requires a Polygon geometry")
@@ -280,7 +299,9 @@ class ElevationService:
             ]}),
             schema="poly_id long, ring array<struct<lon:double,lat:double>>",
         )
-        px = (polygon_pixels(polys, self.images_df)
+        # spread=False: one interactive polygon — the batch-replay
+        # repartition would only add an exchange of mostly-empty tasks
+        px = (polygon_pixels(polys, self.images_df, spread=False)
               .orderBy("x", "y")                      # W2 ordered dump
               .select("x", "y", "z").collect())
         if not px:
@@ -290,7 +311,9 @@ class ElevationService:
         return _response([[r["x"], r["y"], int(r["z"])] for r in px])
 
     # -- gRPC AreaRangesElevation / colorpolygon (grpc_server.py:106-141) ---
-    def colorpolygon(self, geometry, format_in: str = "polygon") -> dict:
+    def colorpolygon(self, geometry, format_in: str = "polygon",
+                     dataset: str = "srtm") -> dict:
+        validate_dataset(dataset)
         gtype, ring = parse_geometry(geometry, format_in)
         if gtype != "Polygon":
             raise _err_geometry("Polygon endpoint requires a Polygon geometry")
@@ -300,7 +323,8 @@ class ElevationService:
             ]}),
             schema="poly_id long, ring array<struct<lon:double,lat:double>>",
         )
-        feats = polygon_color_features(polys, self.images_df).toPandas()
+        feats = polygon_color_features(polys, self.images_df,
+                                       spread=False).toPandas()
         if feats.empty:
             raise _err_geometry(
                 "The requested geometry is outside the bounds of srtm"

@@ -65,7 +65,19 @@ def _images(spark: SparkSession) -> DataFrame:
         df = fx.make_images_df(spark, CW)
         df.persist()
         df.count()
-        _IMAGES_CACHE.clear()   # one live session at a time
+        # evict dead sessions' entries and release still-live storage
+        # (unpersist, not just dict-clear) so alternating sessions don't
+        # leak executor storage memory
+        for old_key, old_df in list(_IMAGES_CACHE.items()):
+            if old_key == key:
+                continue
+            try:
+                sc = old_df.sparkSession.sparkContext
+                if not sc._jsc.sc().isStopped():
+                    old_df.unpersist()
+            except Exception:
+                pass  # session already torn down
+            del _IMAGES_CACHE[old_key]
         _IMAGES_CACHE[key] = df
     return df
 

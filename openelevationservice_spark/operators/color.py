@@ -117,13 +117,15 @@ def _dissolve_partition(batches):
 
 def polygon_color_features(polygons_df: DataFrame, images_df: DataFrame,
                            num_ranges: int = NUM_RANGES,
-                           index_strategy: str = "broadcast") -> DataFrame:
+                           index_strategy: str = "broadcast",
+                           spread: bool = True) -> DataFrame:
     """Distributed equivalent of ``group_and_union_geometries``.
 
     Returns one row per dissolved feature:
     (poly_id, height_base, feature_idx, n_rings, area_px, rings).
     """
-    pixels = polygon_pixels(polygons_df, images_df, index_strategy=index_strategy)
+    pixels = polygon_pixels(polygons_df, images_df,
+                            index_strategy=index_strategy, spread=spread)
     pixels.persist()
     stats = polygon_stats(pixels)
     banded = with_height_base(pixels, stats, num_ranges)
@@ -196,11 +198,13 @@ def _invariants_partition(batches):
 
 def polygon_color_invariants(polygons_df: DataFrame, images_df: DataFrame,
                              num_ranges: int = NUM_RANGES,
-                             index_strategy: str = "broadcast") -> DataFrame:
+                             index_strategy: str = "broadcast",
+                             spread: bool = True) -> DataFrame:
     """Per-band dissolve invariants (poly_id, height_base, area_px,
     euler4, euler8) — the oracle-checkable face of the dissolve (G3).
     Same plan shape as :func:`polygon_color_features`."""
-    pixels = polygon_pixels(polygons_df, images_df, index_strategy=index_strategy)
+    pixels = polygon_pixels(polygons_df, images_df,
+                            index_strategy=index_strategy, spread=spread)
     pixels.persist()
     stats = polygon_stats(pixels)
     banded = with_height_base(pixels, stats, num_ranges)

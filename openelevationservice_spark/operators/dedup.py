@@ -158,6 +158,14 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
     all-pairs cross join.
     """
     n_blocks = max_hamming + 1
+    if n_blocks > bits:
+        # zero-width blocks would key every row to 0, degenerating the
+        # block equi-join into the all-pairs cross join this operator
+        # promises never happens
+        raise ValueError(
+            f"max_hamming + 1 = {n_blocks} blocks need at least 1 bit each "
+            f"(bits={bits})"
+        )
     # contiguous blocks of floor/ceil(bits/n_blocks) bits covering all bits
     bounds = [round(i * bits / n_blocks) for i in range(n_blocks + 1)]
     s = simhash(df, id_col, text_col, bits)

@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..constants import NODATA, PX, TILE_DEG, WORLD_X0, WORLD_Y0
+from ..constants import NODATA, PX, TILE_DEG, TILE_PX, WORLD_X0, WORLD_Y0
 from ..functions import image_codec
 from ..functions.cells import linear_id_col
 from ..functions.geometry import points_in_ring, ring_to_arrays
@@ -60,8 +60,14 @@ def polygons_with_bbox(polygons_df: DataFrame) -> DataFrame:
 
 
 def polygon_tile_join(polygons_df: DataFrame, index_df: DataFrame,
-                      index_strategy: str = "broadcast") -> DataFrame:
-    """Polygon × tile join via cover-cell explode (SURVEY.md §2.3 J3)."""
+                      index_strategy: str = "broadcast",
+                      spread: bool = True) -> DataFrame:
+    """Polygon × tile join via cover-cell explode (SURVEY.md §2.3 J3).
+
+    ``spread=False`` skips the pre-join repartition — right for
+    interactive single-polygon requests (the API layer sets it), where
+    an extra full exchange into mostly-empty tasks only adds latency.
+    """
     p = polygons_with_bbox(polygons_df)
     cx0 = F.floor((F.col("min_x") - F.lit(WORLD_X0)) / F.lit(TILE_DEG)).cast("long")
     cx1 = F.floor((F.col("max_x") - F.lit(WORLD_X0)) / F.lit(TILE_DEG)).cast("long")
@@ -77,8 +83,9 @@ def polygon_tile_join(polygons_df: DataFrame, index_df: DataFrame,
     # every pixel-mask kernel invocation into a single python worker.
     # Shuffling here moves only rings + ids — the tile bytes join in after
     # and never reshuffle.
-    spark = polygons_df.sparkSession
-    p = p.repartition(spark.sparkContext.defaultParallelism * 2, "poly_id", "cell_id")
+    if spread:
+        spark = polygons_df.sparkSession
+        p = p.repartition(spark.sparkContext.defaultParallelism * 2, "poly_id", "cell_id")
     idx = index_df.select("cell_id", "image_id", "bytes", "fmt", "ul_x", "ul_y", "px", "w", "h")
     if index_strategy == "broadcast":
         idx = F.broadcast(idx)
@@ -134,6 +141,13 @@ def _pixel_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 grid = image_codec.decode(r["bytes"], r["fmt"], int(r["w"]), int(r["h"]))
                 grid_cache[img] = grid
             h, w = grid.shape
+            if w != TILE_PX or h != TILE_PX:
+                # with_pixel_coords derives image_id/x/y from gx, gy using
+                # the constant TILE_PX — a tile of any other size would
+                # silently produce wrong coordinates downstream
+                raise AssertionError(
+                    f"tile {img} is {w}x{h}, expected {TILE_PX}x{TILE_PX}"
+                )
             ul_x, ul_y, px = r["ul_x"], r["ul_y"], r["px"]
             jj, ii = np.meshgrid(np.arange(w), np.arange(h))
             cx = ul_x + (jj + 0.5) * px          # centroid lon
@@ -157,7 +171,8 @@ def _pixel_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 
 def polygon_pixels(polygons_df: DataFrame, images_df: DataFrame,
-                   index_strategy: str = "broadcast") -> DataFrame:
+                   index_strategy: str = "broadcast",
+                   spread: bool = True) -> DataFrame:
     """Pixel rows covered by each polygon: (poly_id, image_id, gx, gy, x, y, z).
 
     Matches the reference's centroid-dump semantics (z != NODATA,
@@ -165,15 +180,17 @@ def polygon_pixels(polygons_df: DataFrame, images_df: DataFrame,
     """
     idx = tile_index(images_df, with_bytes=True)
     j = polygon_tile_join(polygons_df.select("poly_id", "ring"), idx,
-                          index_strategy=index_strategy)
+                          index_strategy=index_strategy, spread=spread)
     return with_pixel_coords(j.mapInPandas(_pixel_rows, schema=PIXEL_SCHEMA))
 
 
 def polygon_elevation(polygons_df: DataFrame, images_df: DataFrame,
-                      index_strategy: str = "broadcast") -> DataFrame:
+                      index_strategy: str = "broadcast",
+                      spread: bool = True) -> DataFrame:
     """(x, y, z) dump ordered by x, y (reference ``querybuilder.py:152``)."""
     return (
-        polygon_pixels(polygons_df, images_df, index_strategy=index_strategy)
+        polygon_pixels(polygons_df, images_df, index_strategy=index_strategy,
+                       spread=spread)
         .select("poly_id", "x", "y", "z")
         .orderBy("poly_id", "x", "y")
     )

@@ -48,7 +48,12 @@ def _gather(grid: np.ndarray, ix: np.ndarray, iy: np.ndarray) -> np.ndarray:
 
 
 def _z_to_int32(vals: np.ndarray) -> pd.array:
-    return pd.array([None if np.isnan(v) else int(v) for v in vals], dtype="Int32")
+    """float64-with-NaN → nullable Int32, fully vectorized (a per-row
+    Python comprehension here ran once per output row in the kNN and
+    streaming gathers)."""
+    mask = np.isnan(vals)
+    ints = np.where(mask, 0, vals).astype(np.int32)
+    return pd.arrays.IntegerArray(ints, mask)
 
 
 def broadcast_grids(images_df: DataFrame):

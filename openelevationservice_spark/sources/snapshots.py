@@ -5,8 +5,12 @@ with per-partition lineage + row-count metrics so a killed job resumes
 mid-tiling".  This sandbox has no Iceberg runtime jars (SURVEY.md
 §7.0), so the layer implements Iceberg's *semantics* over Parquet —
 atomic manifest swap via directory rename, immutable snapshot dirs,
-manifest lineage — and upgrades to real ``writeTo(...).using("iceberg")``
-when a catalog is configured (``iceberg_catalog`` argument).
+manifest lineage.  When ``iceberg_catalog`` names a configured Spark
+catalog, :meth:`SnapshotStore.write` first attempts a real
+``df.writeTo("<catalog>.<stage>_<snap>").using("iceberg")``; if the
+catalog/jars are absent it falls back to the Parquet snapshot and
+records ``iceberg_fallback: true`` in the manifest (exercised by
+tests/test_snapshots_exec.py).
 
 Layout::
 
@@ -29,12 +33,29 @@ import uuid
 from dataclasses import dataclass, field
 from typing import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 
 def _params_hash(params: dict) -> str:
     return hashlib.sha256(json.dumps(params, sort_keys=True, default=str).encode()).hexdigest()[:16]
+
+
+def _footer_partition_counts(path: str) -> list[dict]:
+    """Per-partition row counts from the written parquet FOOTERS —
+    metadata reads (what Iceberg manifests record per file), not a
+    second scan of the data.  Partition id comes from Spark's
+    ``part-NNNNN-`` file naming."""
+    import pyarrow.parquet as pq
+
+    out = []
+    for name in sorted(os.listdir(path)):
+        if not name.startswith("part-") or not name.endswith(".parquet"):
+            continue
+        pid = int(name.split("-")[1])
+        rows = pq.ParquetFile(os.path.join(path, name)).metadata.num_rows
+        out.append({"partition_id": pid, "rows": int(rows)})
+    return out
 
 
 @dataclass
@@ -53,13 +74,26 @@ class SnapshotStore:
         with open(p) as f:
             return json.load(f)
 
+    def _try_iceberg(self, df: DataFrame, stage: str, snap_id: str) -> str | None:
+        """Real Iceberg path: returns the table identifier on success,
+        None when the catalog/jars are absent (Parquet fallback)."""
+        if not self.iceberg_catalog:
+            return None
+        table = f"{self.iceberg_catalog}.{stage.replace('/', '_')}_{snap_id.replace('-', '_')}"
+        try:
+            df.writeTo(table).using("iceberg").createOrReplace()
+            return table
+        except Exception:
+            return None  # no catalog impl / no iceberg runtime on classpath
+
     def write(self, df: DataFrame, stage: str, params: dict | None = None,
               inputs: list[str] | None = None) -> dict:
         """Materialize ``df`` as a new immutable snapshot; returns manifest.
 
-        Partition row counts are computed in the same pass as the write
-        (count aggregation over ``spark_partition_id``), not by a
-        second scan of the source.
+        Row counts come from the write itself, not a second data scan:
+        the total via ``df.observe()`` during the write action, the
+        per-partition ("per-file", Iceberg-manifest-style) counts from
+        the written parquet footers — metadata reads only.
         """
         params = params or {}
         snap_id = f"{int(time.time() * 1000):x}-{uuid.uuid4().hex[:8]}"
@@ -68,18 +102,17 @@ class SnapshotStore:
         final = os.path.join(stage_dir, f"snap-{snap_id}")
         os.makedirs(stage_dir, exist_ok=True)
 
-        df.write.mode("overwrite").parquet(tmp)
-        spark = df.sparkSession
-        written = spark.read.parquet(tmp)
-        part_counts = (
-            written.groupBy(F.spark_partition_id().alias("partition_id"))
-            .count()
-            .collect()
-        )
-        partitions = sorted(
-            ({"partition_id": int(r["partition_id"]), "rows": int(r["count"])} for r in part_counts),
-            key=lambda d: d["partition_id"],
-        )
+        iceberg_table = self._try_iceberg(df, stage, snap_id)
+        obs = Observation(f"snap_{snap_id}")
+        df.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode("overwrite").parquet(tmp)
+        partitions = _footer_partition_counts(tmp)
+        total = sum(p["rows"] for p in partitions)
+        observed_total = int(obs.get["rows"])
+        if observed_total != total:
+            raise AssertionError(
+                f"snapshot {snap_id}: observed {observed_total} rows during "
+                f"the write but parquet footers sum to {total}"
+            )
         manifest = {
             "snapshot_id": snap_id,
             "stage": stage,
@@ -88,9 +121,11 @@ class SnapshotStore:
             "params_hash": _params_hash(params),
             "inputs": inputs or [],
             "partitions": partitions,
-            "total_rows": sum(p["rows"] for p in partitions),
-            "schema": written.schema.jsonValue(),
-            "format": "parquet",
+            "total_rows": total,
+            "schema": df.schema.jsonValue(),
+            "format": "iceberg" if iceberg_table else "parquet",
+            "iceberg_table": iceberg_table,
+            "iceberg_fallback": bool(self.iceberg_catalog) and iceberg_table is None,
         }
         with open(os.path.join(tmp, "_manifest.json"), "w") as f:
             json.dump(manifest, f, indent=1)

@@ -150,3 +150,29 @@ def test_maximum_nodes_4003(svc):
         svc.line({"type": "LineString", "coordinates": coords}, "geojson",
                  strict_two_vertex=False)
     assert e.value.code == 4003
+
+
+def test_maximum_nodes_4003_in_strict_mode(svc):
+    """Oversized lines must get 4003 even with the default strict
+    two-vertex guard (reference test_api_line.py:90-97 expects 4003
+    for a 2001-node polyline)."""
+    coords = [[VALID[0] + i * 1e-6, VALID[1]] for i in range(api.MAXIMUM_NODES + 1)]
+    with pytest.raises(api.ApiError) as e:
+        svc.line({"type": "LineString", "coordinates": coords}, "geojson")
+    assert e.value.code == 4003
+
+
+def test_unknown_dataset_4000(svc):
+    with pytest.raises(api.ApiError) as e:
+        svc.point(VALID, "point", dataset="aster")
+    assert e.value.code == 4000
+    with pytest.raises(api.ApiError) as e:
+        svc.line({"type": "LineString",
+                  "coordinates": [list(VALID), [VALID[0] + 1e-4, VALID[1]]]},
+                 "geojson", dataset="nope")
+    assert e.value.code == 4000
+
+
+def test_srtm_dataset_accepted(svc):
+    out = svc.point(VALID, "point", dataset="srtm")
+    assert out["geometry"]["type"] == "Point"

@@ -83,3 +83,11 @@ def test_simhash_near_pairs(spark, docs):
     assert (0, 1) in got
     hm = pairs.set_index(["id_a", "id_b"])["hamming"]
     assert hm[(0, 1)] == 0
+
+
+def test_simhash_near_pairs_rejects_zero_width_blocks(spark):
+    import pytest as _pytest
+    from openelevationservice_spark.operators import dedup
+    df = spark.createDataFrame([(1, "a b"), (2, "a b")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="blocks need at least 1 bit"):
+        dedup.simhash_near_pairs(df, bits=4, max_hamming=4)

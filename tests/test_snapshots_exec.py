@@ -74,3 +74,26 @@ def test_plan_assertions(spark):
     ex.assert_no_cartesian(j)
     with pytest.raises(AssertionError):
         ex.assert_no_cartesian(big.crossJoin(small.withColumnRenamed("k", "k2")))
+
+
+def test_iceberg_flag_falls_back_without_catalog(spark, tmp_path):
+    """iceberg_catalog set but no Iceberg runtime on this classpath →
+    the write must fall back to the parquet snapshot and say so."""
+    from openelevationservice_spark.sources.snapshots import SnapshotStore
+    st = SnapshotStore(str(tmp_path / "snaps"), iceberg_catalog="nosuch")
+    df = spark.range(100)
+    m = st.write(df, "ice_stage", params={"p": 1})
+    assert m["format"] == "parquet"
+    assert m["iceberg_fallback"] is True
+    assert m["iceberg_table"] is None
+    assert m["total_rows"] == 100
+    assert st.read(spark, "ice_stage").count() == 100
+
+
+def test_manifest_counts_match_footers(spark, store):
+    df = spark.range(0, 777).repartition(7)
+    m = store.write(df, "counts")
+    assert m["total_rows"] == 777
+    assert len(m["partitions"]) >= 1
+    assert sum(p["rows"] for p in m["partitions"]) == 777
+    assert m["iceberg_fallback"] is False
