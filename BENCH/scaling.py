@@ -31,8 +31,10 @@ REPO = Path(__file__).resolve().parents[1]
 # x1 runs back into fixed-cost territory at the 4N level.
 SCALE_ENV = {
     "OES_BENCH_POINT_REPLICAS": os.environ.get("OES_SCALE_POINT", "256"),
-    "OES_BENCH_LINE_REPLICAS": os.environ.get("OES_SCALE_LINE", "4"),
-    "OES_BENCH_POLY_REPLICAS": os.environ.get("OES_SCALE_POLY", "4"),
+    "OES_BENCH_LINE_REPLICAS": os.environ.get("OES_SCALE_LINE", "128"),
+    "OES_BENCH_POLY_REPLICAS": os.environ.get("OES_SCALE_POLY", "8"),
+    "OES_BENCH_ANN_MULT": os.environ.get("OES_SCALE_ANN", "50"),
+    "OES_BENCH_TILE_REPS": os.environ.get("OES_SCALE_TILE", "8"),
     "OES_BENCH_REPS": os.environ.get("OES_SCALE_REPS", "3"),
 }
 

@@ -56,6 +56,10 @@ Y0 = BENCH_WORLD.max_y
 POINT_REPLICAS = int(os.environ.get("OES_BENCH_POINT_REPLICAS", "8"))
 LINE_REPLICAS = int(os.environ.get("OES_BENCH_LINE_REPLICAS", "1"))
 POLY_REPLICAS = int(os.environ.get("OES_BENCH_POLY_REPLICAS", "1"))
+# ann corpus multiplier + tile-ingest replication: at x1 both queries are
+# sub-second and measure per-action fixed costs, not the engine
+ANN_MULT = int(os.environ.get("OES_BENCH_ANN_MULT", "20"))
+TILE_REPS = int(os.environ.get("OES_BENCH_TILE_REPS", "4"))
 
 
 def _parts(spark) -> int:
@@ -193,10 +197,16 @@ def run_bench(spark, sf_dir: str) -> dict:
         timings[name] = samples[len(samples) // 2]
         rows[name] = int(n_rows if n_rows is not None else n)
 
+    imgs_big = images.withColumn(
+        "rep", F.explode(F.sequence(F.lit(0), F.lit(TILE_REPS - 1)))
+    ).withColumn("image_id", F.concat_ws("#", "image_id", "rep")).drop("rep")
+    imgs_big = imgs_big.repartition(_parts(spark))
+    imgs_big.persist()
+    n_ingest = imgs_big.count()
     timed_action(
         "tile_ingest_stats",
-        lambda: image_metadata(images).agg(F.sum("sum_v")).collect() and n_tiles,
-        n_rows=n_tiles,
+        lambda: image_metadata(imgs_big).agg(F.sum("sum_v")).collect() and n_ingest,
+        n_rows=n_ingest,
     )
 
     timed_action("minhash_lsh",
@@ -204,12 +214,29 @@ def run_bench(spark, sf_dir: str) -> dict:
 
     q = emb.filter(F.col("vec_id") < 8).select(F.col("vec_id").alias("q_id"),
                                                F.col("embedding").alias("q_vec"))
-    timed_action("ann_topk", lambda: similarity.cosine_topk(emb, q, k=10).count())
+    emb_big = (emb.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(ANN_MULT - 1))))
+               .select((F.col("vec_id") * ANN_MULT + F.col("rep")).alias("vec_id"),
+                       "embedding")
+               .repartition(_parts(spark)))
+    emb_big.persist()
+    emb_big.count()
+    timed_action("ann_topk", lambda: similarity.cosine_topk(emb_big, q, k=10).count())
 
     total = sum(timings.values())
     replay_rows = rows["point_replay"] + rows["line_replay"] + rows["polygon_dump"]
     replay_sec = (timings["point_replay"] + timings["line_replay"]
                   + timings["polygon_dump"])
+    prev = _previous_round()
+    if prev.get("prev_queries") and prev.get("prev_replicas") == {
+        "point": POINT_REPLICAS, "line": LINE_REPLICAS, "poly": POLY_REPLICAS,
+        "ann": ANN_MULT, "tile": TILE_REPS,
+    }:
+        # comparable volumes → per-query speedup vs the previous round
+        prev["speedup_vs_prev"] = {
+            k: round(prev["prev_queries"][k] / v, 2)
+            for k, v in timings.items()
+            if k in prev["prev_queries"] and v > 0
+        }
     return {
         "metric": "spatial-join replay (point+line+polygon) wall time",
         "value": round(total, 3),
@@ -221,8 +248,35 @@ def run_bench(spark, sf_dir: str) -> dict:
         "rows_total": int(sum(rows.values())),
         "replay_rows_per_sec": round((replay_rows + n_tiles) / replay_sec, 1),
         "replicas": {"point": POINT_REPLICAS, "line": LINE_REPLICAS,
-                     "poly": POLY_REPLICAS},
+                     "poly": POLY_REPLICAS, "ann": ANN_MULT, "tile": TILE_REPS},
         "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 32)),
+        **prev,
+    }
+
+
+def _previous_round() -> dict:
+    """Round-over-round continuity: per-query seconds of the newest
+    BENCH_r{N}.json next to this script; run_bench adds
+    ``speedup_vs_prev`` (>1 = faster now) when replica volumes match,
+    so regressions are visible in the emitted JSON itself."""
+    import glob
+    import re
+
+    cands = sorted(glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                          "BENCH_r*.json")))
+    if not cands:
+        return {}
+    newest = cands[-1]
+    try:
+        with open(newest) as f:
+            prev = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return {}
+    rnd = re.search(r"BENCH_r(\d+)", newest)
+    return {
+        "prev_round": int(rnd.group(1)) if rnd else None,
+        "prev_queries": prev.get("queries", {}),
+        "prev_replicas": prev.get("replicas"),
     }
 
 

@@ -170,14 +170,146 @@ def _pixel_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                else pd.DataFrame({c: [] for c in cols}))
 
 
+# Run-length-encoded Arrow boundary: the Python kernel emits one row per
+# SCANLINE RUN of covered pixels (poly_id, gy, gx0, zs array) instead of
+# one row per pixel — pixel-row generation then happens JVM-side via a
+# codegen'd posexplode.  The per-pixel Arrow→InternalRow conversion was
+# the operator's scaling limiter (allocation-bound in the shared JVM
+# heap); runs average tens of pixels, cutting that boundary ~40×.
+RUN_SCHEMA = T.StructType(
+    [
+        T.StructField("poly_id", T.LongType()),
+        T.StructField("gy", T.LongType()),
+        T.StructField("gx0", T.LongType()),
+        T.StructField("zs", T.ArrayType(T.IntegerType())),
+    ]
+)
+
+
+def _is_axis_rect(rx: np.ndarray, ry: np.ndarray) -> bool:
+    """True iff the closed ring is exactly an axis-aligned, non-degenerate
+    rectangle (4 edges, each axis-parallel, corners = bbox corners)."""
+    if len(rx) != 5:
+        return False
+    dx = np.diff(rx)
+    dy = np.diff(ry)
+    if not np.all((dx == 0.0) | (dy == 0.0)):
+        return False
+    corners = set(zip(rx[:4].tolist(), ry[:4].tolist()))
+    x0, x1 = float(rx.min()), float(rx.max())
+    y0, y1 = float(ry.min()), float(ry.max())
+    return corners == {(x0, y0), (x0, y1), (x1, y0), (x1, y1)}
+
+
+def _pixel_runs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Per (polygon, tile) row → covered non-NODATA scanline runs.
+
+    Tile-keyed cache holds the decoded grid AND its centroid coordinate
+    vectors/grids (they depend only on the tile, not the polygon — the
+    former per-pair meshgrid rebuild dominated the kernel).  Exactly
+    rectangular rings take an interval-comparison fast path (identical
+    covered set to the boundary-inclusive even-odd PIP for axis-aligned
+    rectangles — parity-asserted against the general kernel in
+    tests/test_polygon.py); everything else runs the general vectorized
+    PIP over the cached centroid grid.
+    """
+    cols = [f.name for f in RUN_SCHEMA.fields]
+    for pdf in batches:
+        tile_cache: dict[str, tuple] = {}
+        poly_ids: list[int] = []
+        gys: list[int] = []
+        gx0s: list[int] = []
+        zs: list[np.ndarray] = []
+        for _, r in pdf.iterrows():
+            img = r["image_id"]
+            ctx = tile_cache.get(img)
+            if ctx is None:
+                grid = image_codec.decode(r["bytes"], r["fmt"], int(r["w"]), int(r["h"]))
+                h, w = grid.shape
+                if w != TILE_PX or h != TILE_PX:
+                    raise AssertionError(
+                        f"tile {img} is {w}x{h}, expected {TILE_PX}x{TILE_PX}"
+                    )
+                ul_x, ul_y, px = r["ul_x"], r["ul_y"], r["px"]
+                cxv = ul_x + (np.arange(w) + 0.5) * px    # centroid lons
+                cyv = ul_y - (np.arange(h) + 0.5) * px    # centroid lats
+                ctx = (grid, grid != NODATA, cxv, cyv,
+                       np.broadcast_to(cxv, (h, w)).ravel(),
+                       np.repeat(cyv, w),
+                       int(round((ul_x - WORLD_X0) / TILE_DEG)),
+                       int(round((WORLD_Y0 - ul_y) / TILE_DEG)))
+                tile_cache[img] = ctx
+            grid, valid, cxv, cyv, cxr, cyr, tx, ty = ctx
+            h, w = grid.shape
+            rx, ry = ring_to_arrays(r["ring"])
+            if _is_axis_rect(rx, ry):
+                x_in = (cxv >= rx.min()) & (cxv <= rx.max())
+                y_in = (cyv >= ry.min()) & (cyv <= ry.max())
+                mask = y_in[:, None] & x_in[None, :]
+            else:
+                mask = points_in_ring(cxr, cyr, rx, ry).reshape(h, w)
+            mask = mask & valid
+            if not mask.any():
+                continue
+            # run extraction: ±1 edges of each scanline's 0-padded mask
+            d = np.diff(np.pad(mask, ((0, 0), (1, 1))).astype(np.int8), axis=1)
+            ys, xs0 = np.nonzero(d == 1)          # run starts (inclusive)
+            _, xs1 = np.nonzero(d == -1)          # run ends (exclusive)
+            pid = int(r["poly_id"])
+            base_y = ty * h
+            base_x = tx * w
+            g32 = grid.astype(np.int32, copy=False)
+            for y, x0, x1 in zip(ys.tolist(), xs0.tolist(), xs1.tolist()):
+                poly_ids.append(pid)
+                gys.append(base_y + y)
+                gx0s.append(base_x + x0)
+                zs.append(g32[y, x0:x1])
+        yield pd.DataFrame(
+            {"poly_id": np.asarray(poly_ids, np.int64),
+             "gy": np.asarray(gys, np.int64),
+             "gx0": np.asarray(gx0s, np.int64),
+             # explicit object dtype: an empty batch would otherwise
+             # infer float64, which Arrow can't convert to list<int32>
+             "zs": pd.Series(zs, dtype=object)},
+            columns=cols,
+        )
+
+
+def polygon_pixel_runs(polygons_df: DataFrame, images_df: DataFrame,
+                       index_strategy: str = "broadcast",
+                       spread: bool = True) -> DataFrame:
+    """Covered-pixel scanline runs: (poly_id, gy, gx0, zs)."""
+    idx = tile_index(images_df, with_bytes=True)
+    j = polygon_tile_join(polygons_df.select("poly_id", "ring"), idx,
+                          index_strategy=index_strategy, spread=spread)
+    return j.mapInPandas(_pixel_runs, schema=RUN_SCHEMA)
+
+
 def polygon_pixels(polygons_df: DataFrame, images_df: DataFrame,
                    index_strategy: str = "broadcast",
-                   spread: bool = True) -> DataFrame:
+                   spread: bool = True, emit: str = "runs") -> DataFrame:
     """Pixel rows covered by each polygon: (poly_id, image_id, gx, gy, x, y, z).
 
     Matches the reference's centroid-dump semantics (z != NODATA,
     centroid covered); ordering is applied by ``polygon_elevation``.
+
+    ``emit="runs"`` (default): the Python kernel ships scanline runs and
+    a JVM ``posexplode`` generates pixel rows inside codegen.
+    ``emit="rows"``: per-pixel Arrow rows (kept as the parity twin,
+    asserted equal in tests/test_polygon.py).
     """
+    if emit == "runs":
+        runs = polygon_pixel_runs(polygons_df, images_df,
+                                  index_strategy=index_strategy, spread=spread)
+        px = runs.select(
+            "poly_id", "gy", "gx0", F.posexplode("zs").alias("pos", "z")
+        ).select(
+            "poly_id",
+            (F.col("gx0") + F.col("pos")).alias("gx"),
+            "gy",
+            "z",
+        )
+        return with_pixel_coords(px)
     idx = tile_index(images_df, with_bytes=True)
     j = polygon_tile_join(polygons_df.select("poly_id", "ring"), idx,
                           index_strategy=index_strategy, spread=spread)

@@ -13,11 +13,11 @@ reproduce bucketing bit-for-bit from injected literals.  All similarity
 values are sequential-fold doubles (same IEEE-754 result in the JVM, in
 DuckDB's ``list_reduce``, and in the reference semantics).
 
-Top-k extraction is a salted two-stage window: a first ``row_number``
-over (query, salt) prunes each of P balanced reducers to k rows, the
-final per-query window ranks only P·k survivors — the full score set
-never funnels through ≤|queries| partitions (that was a straggler by
-construction at 100× corpus).
+Top-k extraction is two-stage: a shuffle-free per-partition prune
+keeps each partition's local top-k per query, the final per-query
+window ranks only P·k survivors — the full score set never funnels
+through ≤|queries| partitions (that was a straggler by construction at
+100× corpus).
 """
 
 from __future__ import annotations
@@ -49,26 +49,38 @@ def cosine_similarity_col(a, b):
 
 
 def topk_per_query(scored: DataFrame, k: int, query_id: str, corpus_id: str,
-                   sim_col: str = "sim", n_salts: int | None = None) -> DataFrame:
-    """Two-stage top-k: salted partial ``row_number`` then final window.
+                   sim_col: str = "sim") -> DataFrame:
+    """Two-stage top-k: shuffle-free per-partition prune, then one window.
 
-    Stage 1 partitions by (query, hash-salt of the corpus id) so the
-    heavy shuffle spreads over |queries|·P reducers instead of
-    |queries|; stage 2 ranks only the ≤ P·k survivors per query.  Output
-    is identical to a single per-query window (the true top-k rows are
-    each top-k within their salt slice).
+    Stage 1 keeps each partition's local top-k per query (an Arrow
+    ``mapInPandas`` over the three narrow score columns — values pass
+    through bit-exact, only row selection happens) with ZERO shuffle;
+    the final per-query ``row_number`` window then ranks only ≤ P·k
+    survivors per query.  The full score set never crosses an exchange —
+    the former single per-query window funneled corpus×queries rows
+    through ≤|queries| reducers, a straggler by construction at 100×
+    corpus.  Output is identical to the single window (the true top-k
+    rows are each top-k within their own partition).
+
+    ``scored`` should be pre-projected to (query_id, corpus_id, sim):
+    extra columns are carried through the Arrow boundary and cost
+    transfer volume.
     """
-    if n_salts is None:
-        n_salts = scored.sparkSession.sparkContext.defaultParallelism
-    order = [F.desc(sim_col), F.col(corpus_id)]
-    w1 = Window.partitionBy(query_id, "_salt").orderBy(*order)
-    pruned = (
-        scored.withColumn("_salt", F.pmod(F.xxhash64(F.col(corpus_id)), F.lit(n_salts)))
-        .withColumn("_r1", F.row_number().over(w1))
-        .filter(F.col("_r1") <= k)
-        .drop("_salt", "_r1")
-    )
-    w2 = Window.partitionBy(query_id).orderBy(*order)
+    schema = scored.schema
+    cols = [f.name for f in schema.fields]
+
+    def prune(batches):
+        pdfs = [p for p in batches if len(p)]
+        if not pdfs:
+            yield pd.DataFrame(columns=cols)
+            return
+        pdf = pd.concat(pdfs, ignore_index=True)
+        pdf = pdf.sort_values([query_id, sim_col, corpus_id],
+                              ascending=[True, False, True], kind="stable")
+        yield pdf.groupby(query_id, sort=False).head(k)
+
+    pruned = scored.mapInPandas(prune, schema=schema)
+    w2 = Window.partitionBy(query_id).orderBy(F.desc(sim_col), F.col(corpus_id))
     return (
         pruned.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
@@ -82,14 +94,15 @@ def cosine_topk(corpus_df: DataFrame, queries_df: DataFrame, k: int = 3,
 
     The query side is broadcast (it is small by construction); the scan
     over the corpus is embarrassingly parallel; top-k goes through the
-    salted two-stage window (no per-query funnel).
+    two-stage partial prune (no per-query window funnel).
     """
     vec_d = F.transform(F.col(corpus_vec), lambda x: x.cast("double"))
     qvec_d = F.transform(F.col(query_vec), lambda x: x.cast("double"))
     c = corpus_df.select(F.col(corpus_id), vec_d.alias("_cv"))
     q = queries_df.select(F.col(query_id), qvec_d.alias("_qv"))
     j = c.crossJoin(F.broadcast(q))
-    j = j.withColumn("sim", cosine_similarity_col(F.col("_cv"), F.col("_qv")))
+    j = j.select(query_id, corpus_id,
+                 cosine_similarity_col(F.col("_cv"), F.col("_qv")).alias("sim"))
     return topk_per_query(j, k, query_id, corpus_id).select(
         query_id, "rank", corpus_id, "sim"
     )
@@ -181,7 +194,8 @@ def lsh_ann_topk(corpus_df: DataFrame, queries_df: DataFrame, k: int = 3,
         .join(F.broadcast(q.select(query_id, qvec_d.alias("_qv"), F.col("probe").alias("cbucket"))),
               "cbucket")
     )
-    j = j.withColumn("sim", cosine_similarity_col(F.col("_cv"), F.col("_qv")))
+    j = j.select(query_id, corpus_id,
+                 cosine_similarity_col(F.col("_cv"), F.col("_qv")).alias("sim"))
     return topk_per_query(j, k, query_id, corpus_id).select(
         query_id, "rank", corpus_id, "sim"
     )
@@ -292,7 +306,8 @@ def ivf_topk(corpus_df: DataFrame, queries_df: DataFrame, k: int = 3,
         nprobe=nprobe, method=method,
     )
     j = c.join(F.broadcast(q), "ivf_list")
-    j = j.withColumn("sim", cosine_similarity_col(F.col("_cv"), F.col("_qv")))
+    j = j.select(query_id, corpus_id,
+                 cosine_similarity_col(F.col("_cv"), F.col("_qv")).alias("sim"))
     return topk_per_query(j, k, query_id, corpus_id).select(
         query_id, "rank", corpus_id, "sim"
     )

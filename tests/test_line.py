@@ -154,3 +154,30 @@ def test_densify_arrow_equals_sql(spark):
     assert len(a) == len(b) > 5
     for c in a.columns:
         assert (a[c].to_numpy() == b[c].to_numpy()).all(), c
+
+
+def test_densify_explode_equals_arrow(spark):
+    """The whole-stage-codegen densify is the same operator as the Arrow
+    twin: identical rows bit-for-bit on a mixed batch."""
+    import pandas as pd
+    from openelevationservice_spark.operators.line import (
+        densify_lines_arrow,
+        densify_lines_explode,
+    )
+
+    pdf = pd.DataFrame({
+        "line_id": [1, 2, 3, 4, 5],
+        "x1": [13.33, 13.33, 13.30, 13.31, 13.34],
+        "y1": [38.11, 38.11, 38.10, 38.12, 38.13],
+        "x2": [13.34, 13.33, 13.30, 13.3101, 13.34001],
+        "y2": [38.12, 38.11, 38.14, 38.12, 38.13],
+    })
+    lines = spark.createDataFrame(pdf)
+    cols = ["line_id", "x1", "y1", "seq", "x", "y", "dist"]
+    a = densify_lines_arrow(lines).select(cols).toPandas().sort_values(
+        ["line_id", "seq"]).reset_index(drop=True)
+    b = densify_lines_explode(lines).select(cols).toPandas().sort_values(
+        ["line_id", "seq"]).reset_index(drop=True)
+    assert len(a) == len(b) > 5
+    for c in cols:
+        assert (a[c].to_numpy() == b[c].to_numpy()).all(), c

@@ -154,3 +154,50 @@ def test_color_features_cover_all_pixels(spark, world, images):
     banded = with_height_base(polygon_pixels(polys, images),
                               polygon_stats(polygon_pixels(polys, images))).toPandas()
     assert set(feats.height_base) == set(banded.height_base)
+
+
+def test_pixel_runs_equal_pixel_rows(spark, world, images):
+    """The run-length-encoded kernel (rect fast path + JVM posexplode)
+    and the per-pixel kernel are the same operator — identical rows on
+    both a rectangle and a triangle (the general-PIP path)."""
+    x0 = world.min_x + 0.1 * TILE_DEG
+    y0 = world.max_y - 1.0 * TILE_DEG
+    tri = [
+        {"lon": x0, "lat": y0},
+        {"lon": x0 + TILE_DEG, "lat": y0},
+        {"lon": x0, "lat": y0 + TILE_DEG},
+        {"lon": x0, "lat": y0},
+    ]
+    schema = "poly_id long, ring array<struct<lon:double, lat:double>>"
+    polys = spark.createDataFrame(
+        pd.DataFrame({"poly_id": [0, 1],
+                      "ring": [tri, bbox_ring(x0, y0, x0 + 0.7 * TILE_DEG,
+                                              y0 + 0.9 * TILE_DEG)]}),
+        schema=schema)
+    key = ["poly_id", "gx", "gy"]
+    cols = key + ["z", "x", "y", "image_id"]
+    a = (polygon_pixels(polys, images, emit="runs").select(cols)
+         .toPandas().sort_values(key).reset_index(drop=True))
+    b = (polygon_pixels(polys, images, emit="rows").select(cols)
+         .toPandas().sort_values(key).reset_index(drop=True))
+    assert len(a) == len(b) > 100
+    for c in cols:
+        assert (a[c].to_numpy() == b[c].to_numpy()).all(), c
+
+
+def test_is_axis_rect_detector():
+    import numpy as np
+    from openelevationservice_spark.operators.polygon import _is_axis_rect
+    rect = (np.array([0.0, 2.0, 2.0, 0.0, 0.0]), np.array([0.0, 0.0, 3.0, 3.0, 0.0]))
+    assert _is_axis_rect(*rect)
+    tri = (np.array([0.0, 2.0, 0.0, 0.0]), np.array([0.0, 0.0, 3.0, 0.0]))
+    assert not _is_axis_rect(*tri)
+    # degenerate (zero-width) rectangle: fast path is still exact there
+    # (points_in_ring's even-odd crossings cancel, leaving on_edge ==
+    # the boundary-inclusive interval test), so detecting it is fine
+    line = (np.array([0.0, 0.0, 0.0, 0.0, 0.0]), np.array([0.0, 0.0, 3.0, 3.0, 0.0]))
+    assert _is_axis_rect(*line)
+    # axis-aligned hexagon (L-shape) → not a rect
+    ell = (np.array([0.0, 2.0, 2.0, 1.0, 1.0, 0.0, 0.0]),
+           np.array([0.0, 0.0, 1.0, 1.0, 2.0, 2.0, 0.0]))
+    assert not _is_axis_rect(*ell)
