@@ -69,6 +69,15 @@ def _err_limit(msg: str) -> ApiError:
     return ApiError(4003, msg)
 
 
+def validate_content_type(content_type: str | None) -> None:
+    """V2 (reference ``validator.py:42-49``): the Content-Type header
+    must exist and contain ``application/json``, else HeaderError 4001.
+    Transport stays out of scope, but a thin server wrapping these
+    functions calls this on POST bodies to preserve the wire contract."""
+    if not content_type or "application/json" not in content_type:
+        raise ApiError(4001, "Content-Type header must be application/json")
+
+
 # ---------------------------------------------------------------------------
 # parsing (reference utils/convert.py:10-81, views.py:91-98,166-173)
 # ---------------------------------------------------------------------------

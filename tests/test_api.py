@@ -176,3 +176,14 @@ def test_unknown_dataset_4000(svc):
 def test_srtm_dataset_accepted(svc):
     out = svc.point(VALID, "point", dataset="srtm")
     assert out["geometry"]["type"] == "Point"
+
+
+def test_content_type_4001():
+    """V2: Content-Type must exist and contain application/json
+    (reference validator.py:42-49)."""
+    for bad in (None, "", "text/plain", "application/xml"):
+        with pytest.raises(api.ApiError) as e:
+            api.validate_content_type(bad)
+        assert e.value.code == 4001
+    api.validate_content_type("application/json")
+    api.validate_content_type("application/json; charset=utf-8")

@@ -80,3 +80,35 @@ def test_lsh_pair_join_is_equi_not_cross(spark):
     ex.assert_no_cartesian(df)
     df2 = dedup.simhash_near_pairs(docs, max_hamming=1)
     ex.assert_no_cartesian(df2)
+
+
+def test_line_default_path_is_pure_jvm(spark, images):
+    """The default line replay (explode densify + broadcast join + JVM
+    gather) must contain NO Python stage at all — densify, join, and
+    pixel gather are whole-stage codegen."""
+    lines = spark.createDataFrame(pd.DataFrame({
+        "line_id": [1], "x1": [13.2], "y1": [38.2], "x2": [13.21], "y2": [38.21]}))
+    df = line_vertices_elevation(lines, images)
+    plan = ex.explain_str(df)
+    # the pixel-index build decodes tiles (one MapInPandas on the
+    # broadcast side); the probe-side pipeline itself must be JVM-only
+    probe = plan[plan.index("BroadcastHashJoin"):] + plan[:plan.index("Generate")]
+    assert "ArrowEvalPython" not in probe
+    assert "BatchEvalPython" not in plan
+
+
+def test_polygon_runs_plan_generates_rows_in_jvm(spark, images):
+    """Run-encoded polygon dump: exactly one probe-side MapInPandas (the
+    run kernel); pixel rows come from a JVM Generate (posexplode)."""
+    polys = spark.createDataFrame(
+        pd.DataFrame({"poly_id": [0], "ring": [
+            [{"lon": 13.2, "lat": 38.2}, {"lon": 13.21, "lat": 38.2},
+             {"lon": 13.21, "lat": 38.21}, {"lon": 13.2, "lat": 38.21},
+             {"lon": 13.2, "lat": 38.2}]]}),
+        schema="poly_id long, ring array<struct<lon:double,lat:double>>")
+    df = polygon_pixels(polys, images)
+    plan = ex.explain_str(df)
+    assert "Generate" in plan and "posexplode" in plan
+    # two MapInPandas total: tile decode (build side) + run kernel
+    assert plan.count("MapInPandas") == 2
+    assert "BatchEvalPython" not in plan

@@ -97,3 +97,31 @@ def test_manifest_counts_match_footers(spark, store):
     assert len(m["partitions"]) >= 1
     assert sum(p["rows"] for p in m["partitions"]) == 777
     assert m["iceberg_fallback"] is False
+
+
+@pytest.fixture(scope="module")
+def world_images(spark):
+    from openelevationservice_spark.sources import fixtures as fx
+    df = fx.make_images_df(spark, fx.World(nx=3, ny=3))
+    df.persist()
+    df.count()
+    return df
+
+
+def test_ddl_create_import_drop(spark, world_images):
+    """S4: CREATE TABLE / append-import / DROP via spark.sql, mirroring
+    the reference's flask create / raster2pgsql -a / flask drop."""
+    from openelevationservice_spark.sources import ddl
+    name = "oes_cgiar_test_ddl"
+    ddl.drop_tiles_table(spark, name)
+    ddl.create_tiles_table(spark, name)
+    ddl.create_tiles_table(spark, name)          # idempotent
+    ddl.import_tiles(world_images, name)
+    back = ddl.read_tiles_table(spark, name)
+    assert back.count() == world_images.count()
+    assert set(back.columns) == {"image_id", "bytes", "w", "h",
+                                 "fmt", "caption", "phash"}
+    ddl.import_tiles(world_images, name)         # append semantics
+    assert ddl.read_tiles_table(spark, name).count() == 2 * world_images.count()
+    ddl.drop_tiles_table(spark, name)
+    assert name not in [t.name for t in spark.catalog.listTables()]
