@@ -42,6 +42,7 @@ from pyspark.sql import functions as F
 from openelevationservice_spark.constants import PX
 from openelevationservice_spark.operators import dedup, similarity
 from openelevationservice_spark.operators.line import line_vertices_elevation
+from openelevationservice_spark.operators.color import polygon_color_invariants
 from openelevationservice_spark.operators.multimodal import image_metadata
 from openelevationservice_spark.operators.point import point_elevation
 from openelevationservice_spark.operators.polygon import polygon_pixels
@@ -207,6 +208,14 @@ def run_bench(spark, sf_dir: str) -> dict:
         "tile_ingest_stats",
         lambda: image_metadata(imgs_big).agg(F.sum("sum_v")).collect() and n_ingest,
         n_rows=n_ingest,
+    )
+
+    # G3 dissolve: vectorized edge masks + loop tracing + grid labeling
+    timed_action(
+        "color_dissolve",
+        lambda: polygon_color_invariants(
+            _polygons_from_supplier(supplier), images
+        ).count(),
     )
 
     timed_action("minhash_lsh",

@@ -203,6 +203,26 @@ def label_counts(gx: np.ndarray, gy: np.ndarray) -> tuple[int, int, int, int]:
     )
 
 
+def quad_counts(gx: np.ndarray, gy: np.ndarray) -> tuple[int, int, int]:
+    """Gray's 2×2 window counts over the cell set — one vectorized numpy
+    pass: (Q1, Q3, QD) with QD = diagonal two-pixel windows.  Euler
+    numbers follow as χ4 = (Q1 − Q3 + 2·QD)/4 = C4 − H8 and
+    χ8 = (Q1 − Q3 − 2·QD)/4 = C8 − H4 (property-tested against
+    :func:`label_counts` in tests/test_geometry_dissolve.py)."""
+    g, _, _ = _dense_grid(np.asarray(gx), np.asarray(gy))
+    p = np.pad(g, 1)
+    a = p[:-1, :-1]
+    b = p[:-1, 1:]
+    c = p[1:, :-1]
+    d = p[1:, 1:]
+    n = (a.astype(np.int8) + b.astype(np.int8)
+         + c.astype(np.int8) + d.astype(np.int8))
+    q1 = int((n == 1).sum())
+    q3 = int((n == 3).sum())
+    qd = int(((n == 2) & (a == d)).sum())
+    return q1, q3, qd
+
+
 def dissolve_area_px(polys) -> float:
     """Total area (in pixel units) of a dissolve result — for tests."""
     total = 0.0

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..constants import NUM_RANGES, PX, WORLD_X0, WORLD_Y0
-from ..functions.dissolve import _signed_area2, dissolve_pixels, label_counts
+from ..functions.dissolve import _signed_area2, dissolve_pixels, quad_counts
 from .polygon import polygon_pixels
 
 
@@ -156,11 +156,14 @@ def _invariants_group(pdf: pd.DataFrame) -> dict:
     - ``euler4``   — C4 − H8 = Gray quad formula (Q1 − Q3 + 2·QD)/4.
     - ``euler8``   — C8 − H4 = (Q1 − Q3 − 2·QD)/4.
 
-    The loop tracer and the independent grid labeling are cross-asserted
-    here (shells == C4; GEOS-convention ring holes ∈ [H8, H4] — a
-    pinch-ring-enclosed background region is H4-bounded but not a GEOS
-    hole, property-tested in tests/test_geometry_dissolve.py), so a bug
-    in either kernel fails the query instead of shipping wrong rings.
+    The loop tracer is cross-asserted against the one-pass quad counts
+    (shells = C4, GEOS-convention ring holes ∈ [H8, H4] — properties
+    established against independent grid labeling in
+    tests/test_geometry_dissolve.py — give the sandwich
+    χ8 ≤ shells − ring_holes ≤ χ4), so a tracer bug fails the query
+    instead of shipping wrong rings.  Full union-find labeling stays in
+    the property tests: running it per band was the kernel's dominant
+    cost (Python union loops over the mostly-background bbox).
     """
     gx = pdf["gx"].to_numpy(np.int64)
     gy = pdf["gy"].to_numpy(np.int64)
@@ -168,18 +171,20 @@ def _invariants_group(pdf: pd.DataFrame) -> dict:
     n_shells = len(polys)
     n_holes = sum(len(rings) - 1 for rings in polys)
     area2 = sum(_signed_area2(r[:-1]) for rings in polys for r in rings)
-    c4, c8, h4, h8 = label_counts(gx, gy)
-    if c4 != n_shells or not (h8 <= n_holes <= h4) or area2 % 2:
+    q1, q3, qd = quad_counts(gx, gy)
+    euler4 = (q1 - q3 + 2 * qd) // 4
+    euler8 = (q1 - q3 - 2 * qd) // 4
+    if not (euler8 <= n_shells - n_holes <= euler4) or area2 % 2:
         raise AssertionError(
-            f"dissolve/labeling mismatch: shells={n_shells} C4={c4} "
-            f"ring_holes={n_holes} H4={h4} H8={h8} area2={area2}"
+            f"dissolve/quad mismatch: shells={n_shells} ring_holes={n_holes} "
+            f"euler4={euler4} euler8={euler8} area2={area2}"
         )
     return {
         "poly_id": int(pdf["poly_id"].iloc[0]),
         "height_base": int(pdf["height_base"].iloc[0]),
         "area_px": area2 // 2,
-        "euler4": c4 - h8,
-        "euler8": c8 - h4,
+        "euler4": euler4,
+        "euler8": euler8,
     }
 
 

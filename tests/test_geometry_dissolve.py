@@ -101,3 +101,25 @@ def test_loops_match_labeling_random_grids():
         assert c4 == n_shells
         assert h8 <= n_holes <= h4
         assert area2 == 2 * len(gx)
+
+
+def test_quad_counts_match_labeling():
+    """χ4/χ8 from the one-pass quad counts equal the labeling-derived
+    Euler numbers on random grids (the in-kernel sandwich relies on it)."""
+    from openelevationservice_spark.functions.dissolve import (
+        dissolve_pixels, label_counts, quad_counts)
+    rng = np.random.default_rng(21)
+    for _ in range(200):
+        h, w = rng.integers(1, 11, 2)
+        g = rng.random((h, w)) < rng.uniform(0.2, 0.85)
+        if not g.any():
+            continue
+        gy, gx = np.nonzero(g)
+        c4, c8, h4, h8 = label_counts(gx, gy)
+        q1, q3, qd = quad_counts(gx, gy)
+        assert (q1 - q3 + 2 * qd) // 4 == c4 - h8
+        assert (q1 - q3 - 2 * qd) // 4 == c8 - h4
+        polys = dissolve_pixels(gx, gy)
+        n_shells = len(polys)
+        n_holes = sum(len(r) - 1 for r in polys)
+        assert c8 - h4 <= n_shells - n_holes <= c4 - h8
