@@ -61,6 +61,10 @@ POLY_REPLICAS = int(os.environ.get("OES_BENCH_POLY_REPLICAS", "1"))
 # sub-second and measure per-action fixed costs, not the engine
 ANN_MULT = int(os.environ.get("OES_BENCH_ANN_MULT", "20"))
 TILE_REPS = int(os.environ.get("OES_BENCH_TILE_REPS", "4"))
+# the dissolve suite volume is independent of POLY_REPLICAS: its kernel
+# is deliberately Python-per-band (exact combinatorics) and would blow
+# up the scaling run's 2-core wall time at the replay volumes
+DISSOLVE_REPLICAS = int(os.environ.get("OES_BENCH_DISSOLVE_REPLICAS", "1"))
 
 
 def _parts(spark) -> int:
@@ -112,11 +116,12 @@ def _lines_from_orders(o):
     )
 
 
-def _polygons_from_supplier(s):
+def _polygons_from_supplier(s, replicas: int | None = None):
+    replicas = POLY_REPLICAS if replicas is None else replicas
     polys = s.withColumn(
-        "rep", F.explode(F.sequence(F.lit(0), F.lit(POLY_REPLICAS - 1)))
+        "rep", F.explode(F.sequence(F.lit(0), F.lit(replicas - 1)))
     )
-    key = F.col("s_suppkey") * POLY_REPLICAS + F.col("rep")
+    key = F.col("s_suppkey") * replicas + F.col("rep")
     gx0 = (key * 7919) % (WPX - 200)
     gy0 = (key * 104729) % (WPX - 200)
     w = F.lit(40) + key % 120
@@ -210,11 +215,12 @@ def run_bench(spark, sf_dir: str) -> dict:
         n_rows=n_ingest,
     )
 
-    # G3 dissolve: vectorized edge masks + loop tracing + grid labeling
+    # G3 dissolve: vectorized edge masks + loop tracing + quad counts.
+    # Runs at its own volume (see DISSOLVE_REPLICAS above).
     timed_action(
         "color_dissolve",
         lambda: polygon_color_invariants(
-            _polygons_from_supplier(supplier), images
+            _polygons_from_supplier(supplier, DISSOLVE_REPLICAS), images
         ).count(),
     )
 
@@ -238,7 +244,7 @@ def run_bench(spark, sf_dir: str) -> dict:
     prev = _previous_round()
     if prev.get("prev_queries") and prev.get("prev_replicas") == {
         "point": POINT_REPLICAS, "line": LINE_REPLICAS, "poly": POLY_REPLICAS,
-        "ann": ANN_MULT, "tile": TILE_REPS,
+        "ann": ANN_MULT, "tile": TILE_REPS, "dissolve": DISSOLVE_REPLICAS,
     }:
         # comparable volumes → per-query speedup vs the previous round
         prev["speedup_vs_prev"] = {
@@ -257,7 +263,8 @@ def run_bench(spark, sf_dir: str) -> dict:
         "rows_total": int(sum(rows.values())),
         "replay_rows_per_sec": round((replay_rows + n_tiles) / replay_sec, 1),
         "replicas": {"point": POINT_REPLICAS, "line": LINE_REPLICAS,
-                     "poly": POLY_REPLICAS, "ann": ANN_MULT, "tile": TILE_REPS},
+                     "poly": POLY_REPLICAS, "ann": ANN_MULT, "tile": TILE_REPS,
+                     "dissolve": DISSOLVE_REPLICAS},
         "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 32)),
         **prev,
     }
