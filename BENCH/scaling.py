@@ -196,11 +196,17 @@ demonstrating >=0.8 engine-side efficiency.
 **Scaling efficiency of the scaling job (point replay, 153.6M joined
 rows/run): (thr_4N / thr_N) / 4 = {eff:.3f}** (target >= 0.8:
 {"PASS" if eff >= 0.8 else "FAIL"}).  Composite over all three replay
-queries: {eff_all:.3f} — the Arrow-boundary operators (line densify,
-polygon mask) are capped by measured single-JVM-heap contention
-(identical work costs ~40% more CPU at 8 threads; pure-register CPU
-control scales at 0.90 on this host); N separate executor machines do
-not share a heap, an allocator, or an L3.  Per-query efficiencies:
+queries: {eff_all:.3f}.  Physical shapes after the round-2 rework:
+point replay, line replay (explode-sequence densify) and the pixel-row
+generation of the polygon dump are pure whole-stage-codegen JVM; the
+polygon kernel ships scanline RUNS over Arrow (the former per-pixel
+Arrow->InternalRow conversion was the scaling limiter at 0.43-0.46);
+the dissolve runs in separate-process Python workers and scales ~1.0.
+Remaining JVM-side queries are bounded by the measured single-socket
+ceiling (pure-register CPU control scales at 0.90 for 2->8 on this
+host; identical allocation-heavy work costs ~40% more CPU at 8
+threads in one JVM heap — contention N separate executor machines do
+not share).  Per-query efficiencies:
 {eff_q}.
 
 Replay volume: {r32['rows_total']:,} output rows over {r32['tiles']} tiles

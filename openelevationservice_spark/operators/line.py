@@ -62,11 +62,15 @@ def densify_lines(lines_df: DataFrame) -> DataFrame:
       generated index sequence: interior indices run 1..n_keep with
       n_keep = n_interp − [last point has t ≥ 1.0 or coords == P2].
 
-    Physical shape: per-line scalars (frac, n_keep, p2_kept) are
-    evaluated once per line inside the array-expression arguments; ONE
-    ``transform`` lambda builds the final (dist, x, y) structs (higher-
-    order functions are interpreted — CodegenFallback — so single-pass
-    matters); ``posexplode`` position IS seq−1.  Zero shuffles.
+    Physical shape: ONE ``transform`` lambda builds the final
+    (dist, x, y) structs (higher-order functions are interpreted —
+    CodegenFallback — so single-pass matters); ``posexplode`` position
+    IS seq−1.  Zero shuffles.  NOTE: composing the per-line scalars as
+    Python Column variables duplicates their subtrees by value (no CSE
+    inside conditional branches), so this twin is kept only as the
+    array-expression PARITY form — the default physical form is
+    :func:`densify_lines_explode`, which stages every scalar through
+    its own select.
     """
     dx = F.col("x2") - F.col("x1")
     dy = F.col("y2") - F.col("y1")
