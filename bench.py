@@ -288,6 +288,8 @@ def _previous_round() -> dict:
             prev = json.load(f)
     except (OSError, json.JSONDecodeError):
         return {}
+    # the driver wraps our emitted line under "parsed" (alongside rc/tail)
+    prev = prev.get("parsed", prev)
     rnd = re.search(r"BENCH_r(\d+)", newest)
     return {
         "prev_round": int(rnd.group(1)) if rnd else None,

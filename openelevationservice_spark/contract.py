@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .constants import NODATA, PX, TILE_DEG, WORLD_X0, WORLD_Y0
+from .constants import NODATA, NUM_RANGES, PX, TILE_DEG, WORLD_X0, WORLD_Y0
 from .operators import dedup, similarity, textops
 from .operators.knn import knn_tiles
 from .operators.line import line_vertices_elevation
@@ -341,8 +341,8 @@ WITH px AS ({_SQL_POLY_PIXELS}),
 st AS (SELECT poly_id, MIN(z) AS min_z, MAX(z) AS max_z FROM px GROUP BY poly_id),
 b AS (
   SELECT px.poly_id,
-         CAST(ceil(floor((px.z - st.min_z) / ((st.max_z - st.min_z + 1) / CAST(23.0 AS DOUBLE)))
-              * ((st.max_z - st.min_z + 1) / CAST(23.0 AS DOUBLE)) + st.min_z) AS BIGINT) AS height_base
+         CAST(ceil(floor((px.z - st.min_z) / ((st.max_z - st.min_z + 1) / CAST({float(NUM_RANGES)} AS DOUBLE)))
+              * ((st.max_z - st.min_z + 1) / CAST({float(NUM_RANGES)} AS DOUBLE)) + st.min_z) AS BIGINT) AS height_base
   FROM px JOIN st ON px.poly_id = st.poly_id
 )
 SELECT poly_id, height_base, COUNT(*) AS n_pixels FROM b GROUP BY poly_id, height_base
@@ -870,8 +870,8 @@ WITH px AS ({_SQL_POLY_PIXELS}),
 st AS (SELECT poly_id, MIN(z) AS min_z, MAX(z) AS max_z FROM px GROUP BY poly_id),
 b AS (
   SELECT px.poly_id, px.gx, px.gy,
-         CAST(ceil(floor((px.z - st.min_z) / ((st.max_z - st.min_z + 1) / CAST(23.0 AS DOUBLE)))
-              * ((st.max_z - st.min_z + 1) / CAST(23.0 AS DOUBLE)) + st.min_z) AS BIGINT) AS height_base
+         CAST(ceil(floor((px.z - st.min_z) / ((st.max_z - st.min_z + 1) / CAST({float(NUM_RANGES)} AS DOUBLE)))
+              * ((st.max_z - st.min_z + 1) / CAST({float(NUM_RANGES)} AS DOUBLE)) + st.min_z) AS BIGINT) AS height_base
   FROM px JOIN st ON px.poly_id = st.poly_id
 ), q AS (
   -- every pixel contributes to the four 2x2 windows containing it;
@@ -893,6 +893,9 @@ b AS (
 ), a AS (
   SELECT poly_id, height_base, COUNT(*) AS area_px FROM b GROUP BY poly_id, height_base
 )
+-- DuckDB's // truncates toward zero while Python's // floors; safe here
+-- because Gray's formula makes q1 - q3 ± 2*qd an exact multiple of 4
+-- (each connected component / hole contributes a full turn of corners)
 SELECT a.poly_id, a.height_base, CAST(a.area_px AS BIGINT) AS area_px,
        CAST((g.q1 - g.q3 + 2 * g.qd) // 4 AS BIGINT) AS euler4,
        CAST((g.q1 - g.q3 - 2 * g.qd) // 4 AS BIGINT) AS euler8

@@ -32,6 +32,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..plans.cache import lease
+
 
 def _dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
@@ -386,7 +388,6 @@ def exact_nn(corpus_df: DataFrame, id_col: str = "vec_id",
         .select("_id", "_v", F.col("_cs.own").alias("_own"),
                 F.col("_cs.csims").alias("_csims"))
     )
-    assigned.persist()
 
     # per-list max angle to its centroid (tiny: k rows, broadcast below)
     theta_own = F.acos(F.least(F.lit(1.0), F.greatest(
@@ -408,7 +409,9 @@ def exact_nn(corpus_df: DataFrame, id_col: str = "vec_id",
         .select("_qid", "_cid",
                 cosine_similarity_col(F.col("_qv"), F.col("_cv")).alias("sim"))
     )
-    cand1.persist()
+    # one storage generation per session regardless of how many times
+    # exact_nn is called (lease supersedes the previous call's persists)
+    lease("exact_nn", assigned, cand1)
     s1 = cand1.groupBy("_qid").agg(F.max("sim").alias("_s1"))
 
     # phase 2: lists whose bound survives s1 (vectors alone in their list

@@ -6,11 +6,14 @@ mid-tiling".  This sandbox has no Iceberg runtime jars (SURVEY.md
 §7.0), so the layer implements Iceberg's *semantics* over Parquet —
 atomic manifest swap via directory rename, immutable snapshot dirs,
 manifest lineage.  When ``iceberg_catalog`` names a configured Spark
-catalog, :meth:`SnapshotStore.write` first attempts a real
-``df.writeTo("<catalog>.<stage>_<snap>").using("iceberg")``; if the
-catalog/jars are absent it falls back to the Parquet snapshot and
-records ``iceberg_fallback: true`` in the manifest (exercised by
-tests/test_snapshots_exec.py).
+catalog, :meth:`SnapshotStore.write` additionally attempts a real
+``writeTo("<catalog>.<stage>_<snap>").using("iceberg")`` **fed from the
+parquet snapshot just written** (a re-scan, never a second compute of
+the input plan — so a nondeterministic df cannot diverge between the
+two copies).  Parquet stays the authoritative copy that ``read()``
+scans; on failure the manifest records ``iceberg_fallback: true`` plus
+the error string (``iceberg_error``), distinguishing missing runtime
+jars from a genuine write failure (tests/test_snapshots_exec.py).
 
 Layout::
 
@@ -74,17 +77,19 @@ class SnapshotStore:
         with open(p) as f:
             return json.load(f)
 
-    def _try_iceberg(self, df: DataFrame, stage: str, snap_id: str) -> str | None:
-        """Real Iceberg path: returns the table identifier on success,
-        None when the catalog/jars are absent (Parquet fallback)."""
+    def _try_iceberg(self, df: DataFrame, stage: str, snap_id: str) -> tuple[str | None, str | None]:
+        """Real Iceberg path: returns (table identifier, None) on success,
+        (None, error string) on failure — so a genuine write failure
+        (auth, schema mismatch, partial commit) is distinguishable in the
+        manifest from the expected no-runtime-jars fallback."""
         if not self.iceberg_catalog:
-            return None
+            return None, None
         table = f"{self.iceberg_catalog}.{stage.replace('/', '_')}_{snap_id.replace('-', '_')}"
         try:
             df.writeTo(table).using("iceberg").createOrReplace()
-            return table
-        except Exception:
-            return None  # no catalog impl / no iceberg runtime on classpath
+            return table, None
+        except Exception as e:  # no catalog impl / no runtime / real failure
+            return None, str(e).split("\n")[0][:500]
 
     def write(self, df: DataFrame, stage: str, params: dict | None = None,
               inputs: list[str] | None = None) -> dict:
@@ -102,7 +107,6 @@ class SnapshotStore:
         final = os.path.join(stage_dir, f"snap-{snap_id}")
         os.makedirs(stage_dir, exist_ok=True)
 
-        iceberg_table = self._try_iceberg(df, stage, snap_id)
         obs = Observation(f"snap_{snap_id}")
         df.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode("overwrite").parquet(tmp)
         partitions = _footer_partition_counts(tmp)
@@ -113,6 +117,14 @@ class SnapshotStore:
                 f"snapshot {snap_id}: observed {observed_total} rows during "
                 f"the write but parquet footers sum to {total}"
             )
+        # Iceberg copy is derived from the parquet snapshot just written
+        # (a re-scan, not a recompute of df) so a nondeterministic df can
+        # never leave the two copies divergent; parquet stays the
+        # authoritative copy read()/run_stage() use, the Iceberg table is
+        # a secondary artifact for downstream catalog consumers.
+        iceberg_table, iceberg_error = self._try_iceberg(
+            df.sparkSession.read.parquet(tmp), stage, snap_id
+        )
         manifest = {
             "snapshot_id": snap_id,
             "stage": stage,
@@ -123,9 +135,10 @@ class SnapshotStore:
             "partitions": partitions,
             "total_rows": total,
             "schema": df.schema.jsonValue(),
-            "format": "iceberg" if iceberg_table else "parquet",
+            "format": "parquet",  # authoritative copy (what read() scans)
             "iceberg_table": iceberg_table,
             "iceberg_fallback": bool(self.iceberg_catalog) and iceberg_table is None,
+            "iceberg_error": iceberg_error,
         }
         with open(os.path.join(tmp, "_manifest.json"), "w") as f:
             json.dump(manifest, f, indent=1)

@@ -86,6 +86,7 @@ def test_iceberg_flag_falls_back_without_catalog(spark, tmp_path):
     assert m["format"] == "parquet"
     assert m["iceberg_fallback"] is True
     assert m["iceberg_table"] is None
+    assert m["iceberg_error"]  # the actual failure is recorded, not swallowed
     assert m["total_rows"] == 100
     assert st.read(spark, "ice_stage").count() == 100
 
