@@ -216,9 +216,9 @@ def _pixel_runs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     cols = [f.name for f in RUN_SCHEMA.fields]
     for pdf in batches:
         tile_cache: dict[str, tuple] = {}
-        poly_ids: list[int] = []
-        gys: list[int] = []
-        gx0s: list[int] = []
+        poly_ids: list[np.ndarray] = []
+        gys: list[np.ndarray] = []
+        gx0s: list[np.ndarray] = []
         zs: list[np.ndarray] = []
         for _, r in pdf.iterrows():
             img = r["image_id"]
@@ -259,15 +259,19 @@ def _pixel_runs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             base_y = ty * h
             base_x = tx * w
             g32 = grid.astype(np.int32, copy=False)
-            for y, x0, x1 in zip(ys.tolist(), xs0.tolist(), xs1.tolist()):
-                poly_ids.append(pid)
-                gys.append(base_y + y)
-                gx0s.append(base_x + x0)
-                zs.append(g32[y, x0:x1])
+            # fully vectorized run assembly (no per-run Python): masked
+            # values in row-major order ARE the runs concatenated in
+            # (y, x0) order, so one boolean gather + np.split at the
+            # run-length boundaries rebuilds every run's z slice
+            poly_ids.append(np.full(len(ys), pid, np.int64))
+            gys.append(base_y + ys.astype(np.int64))
+            gx0s.append(base_x + xs0.astype(np.int64))
+            zs.extend(np.split(g32[mask], np.cumsum(xs1 - xs0)[:-1]))
+        empty = np.empty(0, np.int64)
         yield pd.DataFrame(
-            {"poly_id": np.asarray(poly_ids, np.int64),
-             "gy": np.asarray(gys, np.int64),
-             "gx0": np.asarray(gx0s, np.int64),
+            {"poly_id": np.concatenate(poly_ids) if poly_ids else empty,
+             "gy": np.concatenate(gys) if gys else empty,
+             "gx0": np.concatenate(gx0s) if gx0s else empty,
              # explicit object dtype: an empty batch would otherwise
              # infer float64, which Arrow can't convert to list<int32>
              "zs": pd.Series(zs, dtype=object)},

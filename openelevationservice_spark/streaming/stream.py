@@ -14,11 +14,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..constants import NODATA
 from ..functions.cells import cell_id_col
-from ..operators.point import with_pixel_indices
-from ..operators.sample import gather_z_broadcast
-from ..sources.tiles import tile_index
+from ..operators.point import point_elevation
 
 POINTS_STREAM_SCHEMA = T.StructType(
     [
@@ -30,23 +27,32 @@ POINTS_STREAM_SCHEMA = T.StructType(
 )
 
 
-def streaming_point_elevation(points_stream: DataFrame, images_df: DataFrame) -> DataFrame:
-    """Stream of points → stream of (point_id, lon, lat, image_id, z).
+def streaming_point_elevation(points_stream: DataFrame, images_df: DataFrame,
+                              gather_strategy: str = "broadcast",
+                              index_strategy: str = "broadcast",
+                              pix_index_df: DataFrame | None = None) -> DataFrame:
+    """Stream of points → stream of (point_id, lon, lat, ts, image_id, z).
 
-    stream-static broadcast join (supported in append mode) + the same
-    Arrow gather kernel as batch; the tile grids are broadcast once.
+    Delegates to the batch :func:`~..operators.point.point_elevation`
+    dispatcher — the streaming path composes with the SAME gather
+    strategies as batch (VERDICT r2 next-round #6), because every
+    strategy is a stream-compatible shape in append mode:
+
+    - ``broadcast``: stream-static broadcast join + Arrow gather against
+      a broadcast grid dict (the demo-world default; grids collected to
+      the driver once).
+    - ``jvm``: the decoded pixel index rides the tile equi-join and the
+      gather is a codegen'd ``element_at`` — no Python in the stream's
+      hot path; pass a persisted ``pix_index_df`` to decode once across
+      the whole query lifetime.  With ``index_strategy="shuffle"`` the
+      index side is exchanged instead of broadcast — the 10^12-image
+      shape where no tile index fits on the driver.
     """
-    idx = F.broadcast(
-        tile_index(images_df).select("cell_id", "image_id", "ul_x", "ul_y", "px", "w", "h")
-    )
-    pts = points_stream.withColumn("cell_id", cell_id_col(F.col("lon"), F.col("lat")))
-    j = with_pixel_indices(pts.join(idx, "cell_id", "left"))
-    out = gather_z_broadcast(j, images_df)
-    z = F.when(F.col("image_id").isNotNull(),
-               F.coalesce(F.col("z"), F.lit(NODATA))).otherwise(F.lit(None))
-    return out.withColumn("z", z.cast("int")).select(
-        "point_id", "lon", "lat", "ts", "image_id", "z"
-    )
+    out = point_elevation(points_stream, images_df, how="left",
+                          index_strategy=index_strategy,
+                          gather_strategy=gather_strategy,
+                          pix_index_df=pix_index_df)
+    return out.select("point_id", "lon", "lat", "ts", "image_id", "z")
 
 
 def windowed_query_counts(points_stream: DataFrame, window: str = "10 seconds",

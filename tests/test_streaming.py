@@ -107,3 +107,40 @@ def test_windowed_counts(spark, tmp_path, world):
     # append mode emits only watermark-closed windows; 30s of events with a
     # 30s watermark closes at least nothing — use the state-complete count
     assert got.n_queries.sum() <= 30
+
+
+def test_streaming_point_elevation_jvm_gather(spark, tmp_path, world):
+    """The stream path composes with the batch jvm pixel-index gather
+    (codegen element_at, no Python in the hot path) — the 10^12-image
+    shape where the Arrow broadcast-grid gather no longer fits."""
+    from openelevationservice_spark.operators.sample import pixel_index
+
+    src = tmp_path / "pts_jvm"
+    pdf = _write_points(spark, src, world)
+    images = spark.createDataFrame(fx.make_images_pdf(world), schema=fx.IMAGES_SCHEMA)
+    pix = pixel_index(images)
+    pix.persist()
+    pix.count()
+    try:
+        stream = spark.readStream.schema(POINTS_STREAM_SCHEMA).parquet(str(src))
+        out = streaming_point_elevation(stream, images, gather_strategy="jvm",
+                                        pix_index_df=pix)
+        q = (out.writeStream.outputMode("append").format("memory")
+             .queryName("stream_pts_jvm").start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = spark.sql("select * from stream_pts_jvm").toPandas()
+        assert len(got) == len(pdf)
+        assert got.z.notna().all()
+        # parity with the broadcast-gather batch path
+        from openelevationservice_spark.operators.point import point_elevation
+        batch = point_elevation(
+            spark.createDataFrame(pdf[["point_id", "lon", "lat"]]), images,
+            how="left", gather_strategy="broadcast",
+        ).toPandas()
+        m = got.merge(batch[["point_id", "z"]], on="point_id", suffixes=("_s", "_b"))
+        assert (m.z_s == m.z_b).all()
+    finally:
+        pix.unpersist()
