@@ -9,8 +9,10 @@ Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS  (default 32),
      OES_BENCH_REPS (timed reps per query, default 5),
      OES_BENCH_POINT_REPLICAS / OES_BENCH_LINE_REPLICAS /
-     OES_BENCH_POLY_REPLICAS (replay volume multipliers; the scaling
-     harness raises them so parallel work dominates fixed per-action
+     OES_BENCH_POLY_REPLICAS / OES_BENCH_DISSOLVE_REPLICAS /
+     OES_BENCH_MINHASH_REPLICAS / OES_BENCH_ANN_MULT /
+     OES_BENCH_TILE_REPS (volume multipliers; the scaling harness
+     raises them so parallel work dominates fixed per-action
      costs — see BENCH/BASELINE.md).
 
 The replay joins query tables derived from the TPC-H-ish parquet
@@ -65,6 +67,12 @@ TILE_REPS = int(os.environ.get("OES_BENCH_TILE_REPS", "4"))
 # is deliberately Python-per-band (exact combinatorics) and would blow
 # up the scaling run's 2-core wall time at the replay volumes
 DISSOLVE_REPLICAS = int(os.environ.get("OES_BENCH_DISSOLVE_REPLICAS", "1"))
+# minhash corpus multiplier (max 26): each replica Caesar-shifts the
+# text into a disjoint shingle namespace, so LSH bucket sizes stay
+# ~constant and total work scales LINEARLY with replicas — replicating
+# identical texts would instead grow candidate pairs quadratically and
+# change the operator's complexity class mid-measurement
+MINHASH_REPLICAS = int(os.environ.get("OES_BENCH_MINHASH_REPLICAS", "4"))
 
 
 def _parts(spark) -> int:
@@ -138,6 +146,25 @@ def _polygons_from_supplier(s, replicas: int | None = None):
         F.struct(x0.alias("lon"), y0.alias("lat")),
     )
     return polys.select(key.alias("poly_id"), ring.alias("ring"))
+
+
+def _docs_big(docs):
+    """MINHASH_REPLICAS disjoint copies of the document corpus (see the
+    knob comment above for why plain replication would be wrong)."""
+    if MINHASH_REPLICAS <= 1:
+        return docs
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    reps = docs.withColumn(
+        "rep", F.explode(F.sequence(F.lit(0), F.lit(MINHASH_REPLICAS - 1)))
+    )
+    expr = None
+    for r in range(MINHASH_REPLICAS):
+        tr = F.translate(F.col("text"), alpha, alpha[r:] + alpha[:r])
+        expr = F.when(F.col("rep") == r, tr) if expr is None else expr.when(F.col("rep") == r, tr)
+    return reps.select(
+        (F.col("doc_id") * MINHASH_REPLICAS + F.col("rep")).alias("doc_id"),
+        expr.alias("text"),
+    )
 
 
 def run_bench(spark, sf_dir: str) -> dict:
@@ -224,8 +251,13 @@ def run_bench(spark, sf_dir: str) -> dict:
         ).count(),
     )
 
+    docs_big = _docs_big(docs)
+    if MINHASH_REPLICAS > 1:
+        docs_big = docs_big.repartition(_parts(spark))
+        docs_big.persist()
+        docs_big.count()
     timed_action("minhash_lsh",
-                 lambda: dedup.lsh_candidate_pairs(docs, n_hashes=8, bands=4).count())
+                 lambda: dedup.lsh_candidate_pairs(docs_big, n_hashes=8, bands=4).count())
 
     q = emb.filter(F.col("vec_id") < 8).select(F.col("vec_id").alias("q_id"),
                                                F.col("embedding").alias("q_vec"))
@@ -241,16 +273,25 @@ def run_bench(spark, sf_dir: str) -> dict:
     replay_rows = rows["point_replay"] + rows["line_replay"] + rows["polygon_dump"]
     replay_sec = (timings["point_replay"] + timings["line_replay"]
                   + timings["polygon_dump"])
+    replicas = {"point": POINT_REPLICAS, "line": LINE_REPLICAS,
+                "poly": POLY_REPLICAS, "ann": ANN_MULT, "tile": TILE_REPS,
+                "dissolve": DISSOLVE_REPLICAS, "minhash": MINHASH_REPLICAS}
+    # which volume knob governs each query (absent knob in an old round
+    # = implicit x1)
+    knob_of = {"point_replay": "point", "line_replay": "line",
+               "polygon_dump": "poly", "ann_topk": "ann",
+               "tile_ingest_stats": "tile", "color_dissolve": "dissolve",
+               "minhash_lsh": "minhash"}
     prev = _previous_round()
-    if prev.get("prev_queries") and prev.get("prev_replicas") == {
-        "point": POINT_REPLICAS, "line": LINE_REPLICAS, "poly": POLY_REPLICAS,
-        "ann": ANN_MULT, "tile": TILE_REPS, "dissolve": DISSOLVE_REPLICAS,
-    }:
-        # comparable volumes → per-query speedup vs the previous round
+    if prev.get("prev_queries"):
+        prev_rep = prev.get("prev_replicas") or {}
+        # per-query speedup vs the previous round, only where THAT
+        # query's volume knob matches (new knobs don't block the rest)
         prev["speedup_vs_prev"] = {
             k: round(prev["prev_queries"][k] / v, 2)
             for k, v in timings.items()
             if k in prev["prev_queries"] and v > 0
+            and prev_rep.get(knob_of[k], 1) == replicas[knob_of[k]]
         }
     return {
         "metric": "spatial-join replay (point+line+polygon) wall time",
@@ -262,9 +303,7 @@ def run_bench(spark, sf_dir: str) -> dict:
         "rows": rows,
         "rows_total": int(sum(rows.values())),
         "replay_rows_per_sec": round((replay_rows + n_tiles) / replay_sec, 1),
-        "replicas": {"point": POINT_REPLICAS, "line": LINE_REPLICAS,
-                     "poly": POLY_REPLICAS, "ann": ANN_MULT, "tile": TILE_REPS,
-                     "dissolve": DISSOLVE_REPLICAS},
+        "replicas": replicas,
         "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 32)),
         **prev,
     }

@@ -463,10 +463,15 @@ _SQL_SHINGLES = """
     FROM documents)
 """
 
+# permutation min-wise family over the md5-prefix base hash — constants
+# inlined from dedup.minhash_perm_consts (engine and oracle share them);
+# ('0x' || hex)::BIGINT is the same conv twin the simhash oracle uses
 _SQL_MINHASH = f"""
   SELECT doc_id,
-         {", ".join(f"MIN(md5('{i}:' || sh)) AS h{i}" for i in range(8))}
-  FROM ({_SQL_SHINGLES}) GROUP BY doc_id
+         {", ".join(f"MIN(({a} * x + {b}) % {dedup.MERSENNE31}) AS h{i}"
+                    for i, (a, b) in enumerate(dedup.minhash_perm_consts(8)))}
+  FROM (SELECT doc_id, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS x
+        FROM ({_SQL_SHINGLES})) GROUP BY doc_id
 """
 
 
@@ -478,7 +483,8 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sql_minhash_pairs() -> str:
     bands = ", ".join(
-        f"({b}, md5(h{2 * b} || '|' || h{2 * b + 1}))" for b in range(4)
+        f"({b}, md5(CAST(h{2 * b} AS VARCHAR) || '|' || CAST(h{2 * b + 1} AS VARCHAR)))"
+        for b in range(4)
     )
     return f"""
 WITH mh AS ({_SQL_MINHASH}),

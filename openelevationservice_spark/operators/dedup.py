@@ -7,15 +7,49 @@ DataFrame/Column expressions (JVM-side, whole-stage codegen; no Python
 in any hot path), each with an ANSI-SQL twin for the DuckDB oracle.
 
 Hash choice: md5 (available and bit-identical in Spark and DuckDB);
-MinHash uses *lexicographic min over seeded md5 hex strings*, which is
-a valid uniform min-wise family and makes the oracle trivially
-expressible.
+MinHash hashes each distinct shingle ONCE (md5 hex prefix → 32-bit int,
+the same conv trick the simhash oracle uses) and derives the n hash
+functions as integer permutations ``h_i(x) = (a_i*x + b_i) mod 2^31-1``
+— the standard universal min-wise family.  The former design took the
+lexicographic min over n *seeded md5 hex strings* per shingle; that is
+also a valid family but allocates n strings per shingle, and the string
+churn was the measured scaling limiter at volume (single-JVM allocator
+contention, BENCH/BASELINE.md).  The permutation family is pure codegen
+int arithmetic after one md5 — and equally oracle-expressible.
 """
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+#: modulus of the permutation family (Mersenne prime 2^31 - 1).
+#: overflow audit: a < 2^31-1, x < 2^32 → a*x + b < 2^63 - 2^31 + 2^31
+#: = fits int64 in both Spark and DuckDB (max product 9.2233716e18 vs
+#: int64 max 9.2233720e18 — tight but safe, do not widen a or x).
+MERSENNE31 = (1 << 31) - 1
+
+
+def minhash_perm_consts(n_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) permutation constants from md5 bytes —
+    reproducible by ANY engine (the DuckDB oracle inlines them as
+    literals), like similarity.deterministic_hyperplanes."""
+    out = []
+    for i in range(n_hashes):
+        a = int(hashlib.md5(f"a:{i}".encode()).hexdigest()[:8], 16) % (MERSENNE31 - 1) + 1
+        b = int(hashlib.md5(f"b:{i}".encode()).hexdigest()[:8], 16) % MERSENNE31
+        out.append((a, b))
+    return out
+
+
+def shingle_base_hash(sh: Column) -> Column:
+    """32-bit unsigned int from the md5 hex prefix of a shingle.
+
+    DuckDB twin: ``('0x' || substr(md5(sh), 1, 8))::BIGINT`` (the same
+    expression pair simhash uses for word hashes)."""
+    return F.conv(F.substring(F.md5(sh), 1, 8), 16, 10).cast("bigint")
 
 
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -47,22 +81,24 @@ def word_shingles(text: Column, n: int) -> Column:
 
 def minhash_signature(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                       n_hashes: int = 8, shingle_n: int = 3) -> DataFrame:
-    """(id, sig: array<string>) — per-doc MinHash signature.
+    """(id, sig: array<bigint>) — per-doc MinHash signature.
 
-    sig[i] = min over distinct shingles of md5(i || ':' || shingle).
-    MIN is duplicate-invariant, so no DISTINCT (and no extra shuffle) is
-    needed over the exploded shingles; the only exchange is the
-    groupBy(doc id), and the B mins are computed as B parallel partial
-    aggregates (map-side combine).
+    sig[i] = min over shingles of (a_i * md5prefix(shingle) + b_i) mod
+    2^31-1 (see module docstring for the family).  MIN is
+    duplicate-invariant, so no DISTINCT (and no extra shuffle) is needed
+    over the exploded shingles; the only exchange is the groupBy(doc
+    id), and the n mins are computed as n parallel partial aggregates
+    (map-side combine) over one shared base hash per shingle.
     """
     sh = df.select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("sh")
     )
+    shx = sh.select(F.col(id_col), shingle_base_hash(F.col("sh")).alias("_x"))
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"h{i}")
-        for i in range(n_hashes)
+        F.min((F.lit(a) * F.col("_x") + F.lit(b)) % F.lit(MERSENNE31)).alias(f"h{i}")
+        for i, (a, b) in enumerate(minhash_perm_consts(n_hashes))
     ]
-    sig = sh.groupBy(id_col).agg(*aggs)
+    sig = shx.groupBy(id_col).agg(*aggs)
     return sig.select(id_col, F.array(*[F.col(f"h{i}") for i in range(n_hashes)]).alias("sig"))
 
 
@@ -70,9 +106,21 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "
                         n_hashes: int = 8, bands: int = 4, shingle_n: int = 3) -> DataFrame:
     """MinHash-LSH candidate pairs (id_a < id_b) sharing >=1 band bucket.
 
-    shingle → minhash → band → bucket-join: docs hash-partition by
-    (band_idx, band_hash); the pair join happens *within buckets only*
-    (an equi-join, never a cross join).
+    shingle → minhash → band → bucket-group: docs hash-partition by
+    (band_idx, band_hash); pairs are generated *within buckets only*
+    (never a cross join).  The bucket members are gathered with a
+    ``collect_list`` aggregate and pairs exploded from the sorted list —
+    a SINGLE scan of the signature subtree.  The former shape
+    (self-equi-join of the banded signatures) scanned that subtree
+    twice, because the two join sides' different projections defeat
+    exchange reuse: measured 22.4 s vs the signature's 6.3 s at
+    local[2]×8 replicas — the whole shingle+minhash pipeline ran twice
+    plus the join.  Same output set, identical oracle.
+
+    Pair volume per bucket is quadratic in bucket size in EITHER shape
+    (that is LSH's contract — near-dup buckets are small by
+    construction); the list gather additionally buffers only the ids,
+    not the signatures.
     """
     rows_per_band = n_hashes // bands
     sig = minhash_signature(df, id_col, text_col, n_hashes, shingle_n)
@@ -90,12 +138,19 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "
             ])
         ).alias("band"),
     ).select(id_col, "band.band_idx", "band.band_hash")
-    a = banded.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
-    b = banded.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")
+    buckets = (
+        banded.groupBy("band_idx", "band_hash")
+        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    # all ordered pairs of the sorted bucket list: posexplode picks id_a,
+    # slice takes everything after it as id_b candidates
     return (
-        a.join(b, ["band_idx", "band_hash"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        buckets.select(F.posexplode("ids").alias("_i", "id_a"), F.col("ids"))
+        .select(
+            "id_a",
+            F.explode(F.slice("ids", F.col("_i") + 2, F.size("ids"))).alias("id_b"),
+        )
         .distinct()
     )
 
