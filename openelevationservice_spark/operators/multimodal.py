@@ -54,19 +54,25 @@ def image_metadata(images_df: DataFrame) -> DataFrame:
     """Decode + feature-extract per image (Arrow batches)."""
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                g = _decode_any(r["bytes"], r["fmt"], int(r["w"]), int(r["h"]))
-                rows.append({
-                    "image_id": r["image_id"], "fmt": r["fmt"],
-                    "n_bytes": len(r["bytes"]), "w": int(r["w"]), "h": int(r["h"]),
-                    "min_v": int(g.min()), "max_v": int(g.max()),
-                    "sum_v": int(g.astype(np.int64).sum()),
-                    "n_nodata": int((g == -32768).sum()),
-                    "mean_v": float(g.mean()),
-                    "phash": image_codec.phash64(g),
-                })
-            yield pd.DataFrame(rows, columns=[f.name for f in META_SCHEMA.fields])
+            # column-wise iteration, not iterrows: the per-row Series
+            # construction cost exceeded the 50x50 decode itself
+            out: dict[str, list] = {f.name: [] for f in META_SCHEMA.fields}
+            for img, data, fmt, w, h in zip(
+                pdf["image_id"], pdf["bytes"], pdf["fmt"], pdf["w"], pdf["h"]
+            ):
+                g = _decode_any(data, fmt, int(w), int(h))
+                out["image_id"].append(img)
+                out["fmt"].append(fmt)
+                out["n_bytes"].append(len(data))
+                out["w"].append(int(w))
+                out["h"].append(int(h))
+                out["min_v"].append(int(g.min()))
+                out["max_v"].append(int(g.max()))
+                out["sum_v"].append(int(g.astype(np.int64).sum()))
+                out["n_nodata"].append(int((g == -32768).sum()))
+                out["mean_v"].append(float(g.mean()))
+                out["phash"].append(image_codec.phash64(g))
+            yield pd.DataFrame(out, columns=[f.name for f in META_SCHEMA.fields])
 
     return images_df.select("image_id", "bytes", "fmt", "w", "h").mapInPandas(
         extract, schema=META_SCHEMA
@@ -88,19 +94,21 @@ def resize(images_df: DataFrame, factor: int = 2, out_fmt: str = "raw16") -> Dat
     """Block-mean downsample by an integer factor (real, numpy)."""
     def rs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                g = _decode_any(r["bytes"], r["fmt"], int(r["w"]), int(r["h"]))
+            out: dict[str, list] = {f.name: [] for f in RESIZE_SCHEMA.fields}
+            for img, data, fmt, w0, h0 in zip(
+                pdf["image_id"], pdf["bytes"], pdf["fmt"], pdf["w"], pdf["h"]
+            ):
+                g = _decode_any(data, fmt, int(w0), int(h0))
                 h, w = g.shape
                 h2, w2 = h // factor, w // factor
                 blocks = g[: h2 * factor, : w2 * factor].reshape(h2, factor, w2, factor)
                 small = blocks.mean(axis=(1, 3)).astype(np.int16)
-                rows.append({
-                    "image_id": r["image_id"],
-                    "bytes": image_codec.encode(small, out_fmt),
-                    "w": w2, "h": h2, "fmt": out_fmt,
-                })
-            yield pd.DataFrame(rows, columns=[f.name for f in RESIZE_SCHEMA.fields])
+                out["image_id"].append(img)
+                out["bytes"].append(image_codec.encode(small, out_fmt))
+                out["w"].append(w2)
+                out["h"].append(h2)
+                out["fmt"].append(out_fmt)
+            yield pd.DataFrame(out, columns=[f.name for f in RESIZE_SCHEMA.fields])
 
     return images_df.select("image_id", "bytes", "fmt", "w", "h").mapInPandas(
         rs, schema=RESIZE_SCHEMA
