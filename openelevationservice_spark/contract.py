@@ -529,6 +529,41 @@ JOIN sizes sb ON sb.doc_id = p.id_b
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH pairs → connected components → (doc_id, rep_id, cluster_size).
+
+    The engine runs iterative min-label propagation
+    (``operators/dedup.py connected_components``); the oracle computes
+    the same fixpoint — per-component min id — via a recursive CTE, so
+    the check is method-independent."""
+    out = dedup.dedup_clusters(_read(spark, sf_dir, "documents"),
+                               n_hashes=8, bands=4, shingle_n=3)
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      F.col("rep_id").cast("long").alias("rep_id"),
+                      F.col("cluster_size").cast("long").alias("cluster_size"))
+
+
+def _sql_dedup_clusters() -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({_sql_minhash_pairs()}),
+edges AS (
+  SELECT id_a AS v, id_b AS w FROM pairs
+  UNION
+  SELECT id_b AS v, id_a AS w FROM pairs
+),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.v, reach.r FROM edges e JOIN reach ON reach.id = e.w
+),
+cc AS (SELECT id AS doc_id, MIN(r) AS rep_id FROM reach GROUP BY id),
+sz AS (SELECT rep_id, COUNT(*) AS cluster_size FROM cc GROUP BY rep_id)
+SELECT CAST(cc.doc_id AS BIGINT) AS doc_id, CAST(cc.rep_id AS BIGINT) AS rep_id,
+       CAST(sz.cluster_size AS BIGINT) AS cluster_size
+FROM cc JOIN sz USING (rep_id)
+"""
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(_read(spark, sf_dir, "documents"), bits=16)
 
@@ -1140,6 +1175,7 @@ QUERIES = {
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
     "simhash_pairs": q_simhash_pairs,
+    "dedup_clusters": q_dedup_clusters,
 }
 
 
@@ -1170,4 +1206,5 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh": _sql_ann_lsh(),
         "ann_ivf": _sql_ann_ivf(),
         "simhash_pairs": _sql_simhash_pairs(),
+        "dedup_clusters": _sql_dedup_clusters(),
     }

@@ -243,3 +243,71 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def connected_components(pairs: DataFrame, ids: DataFrame,
+                         id_col: str = "doc_id",
+                         max_iters: int = 50) -> DataFrame:
+    """Duplicate-cluster assignment: (id, rep_id = min id of its
+    connected component) over the near-dup pair graph — the step that
+    turns candidate PAIRS into dedup GROUPS (keep one representative
+    per cluster) in a production pipeline.
+
+    Iterative min-label propagation, the standard distributed CC shape:
+    every round each node takes the min label over itself and its
+    neighbors (one shuffle per round); rounds needed = graph diameter,
+    which for near-dup clusters is tiny (duplicate groups are
+    near-cliques).  Each round ``localCheckpoint``s the label table —
+    without it the self-referential plan grows exponentially — and
+    convergence is an exact fixpoint test (count of changed labels,
+    driver-side loop like GraphX/GraphFrames CC).  For adversarial
+    long-chain graphs the large-star/small-star variant converges in
+    O(log d) rounds; near-dup clustering does not need it.
+
+    The fixpoint is the per-component min id — method-independent, which
+    is what lets a recursive-CTE SQL oracle verify it exactly.
+    """
+    nodes = ids.select(F.col(id_col).alias("_v")).distinct()
+    # both directions; propagation includes the node's own label
+    e = (
+        pairs.select(F.col("id_a").alias("_v"), F.col("id_b").alias("_w"))
+        .unionByName(pairs.select(F.col("id_b").alias("_v"), F.col("id_a").alias("_w")))
+        .distinct()
+    )
+    e.persist()
+    labels = nodes.select("_v", F.col("_v").alias("_lbl")).localCheckpoint()
+    for _ in range(max_iters):
+        nbr_min = (
+            e.join(labels.select(F.col("_v").alias("_w"), F.col("_lbl")), "_w")
+            .groupBy("_v").agg(F.min("_lbl").alias("_nmin"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "_v", "left")
+            .select("_v", F.least(F.col("_lbl"), F.coalesce(F.col("_nmin"), F.col("_lbl"))).alias("_lbl"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "_v")
+            .filter(F.col("n._lbl") != F.col("o._lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(f"connected_components did not converge in {max_iters} rounds")
+    e.unpersist()
+    return labels.select(F.col("_v").alias(id_col), F.col("_lbl").alias("rep_id"))
+
+
+def dedup_clusters(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                   n_hashes: int = 8, bands: int = 4, shingle_n: int = 3) -> DataFrame:
+    """End-to-end near-dup grouping: LSH candidate pairs → connected
+    components → (id, rep_id, cluster_size).  ``rep_id`` is the cluster
+    representative a curation pipeline keeps; singletons are their own
+    representative."""
+    pairs = lsh_candidate_pairs(df, id_col, text_col, n_hashes, bands, shingle_n)
+    cc = connected_components(pairs, df.select(id_col), id_col)
+    sizes = cc.groupBy("rep_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return cc.join(F.broadcast(sizes), "rep_id").select(id_col, "rep_id", "cluster_size")

@@ -91,3 +91,40 @@ def test_simhash_near_pairs_rejects_zero_width_blocks(spark):
     df = spark.createDataFrame([(1, "a b"), (2, "a b")], "doc_id long, text string")
     with _pytest.raises(ValueError, match="blocks need at least 1 bit"):
         dedup.simhash_near_pairs(df, bits=4, max_hamming=4)
+
+
+def test_connected_components_chain_and_singleton(spark):
+    """Chain 1-2-3 (diameter 2), pair {10,11}, singleton 20 — labels must
+    reach the per-component min, including across multi-hop chains."""
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": [2, 1, 10], "id_b": [3, 2, 11]})
+    )
+    ids = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3, 10, 11, 20]})
+    )
+    got = dedup.connected_components(pairs, ids).toPandas().set_index("doc_id")["rep_id"]
+    assert got.to_dict() == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20}
+
+
+def test_connected_components_long_chain(spark):
+    """A 12-node chain exercises multiple propagation rounds."""
+    n = 12
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": list(range(n - 1)), "id_b": list(range(1, n))})
+    )
+    ids = spark.createDataFrame(pd.DataFrame({"doc_id": list(range(n))}))
+    got = dedup.connected_components(pairs, ids).toPandas()
+    assert (got["rep_id"] == 0).all()
+
+
+def test_dedup_clusters_groups_exact_dups(spark, docs):
+    got = dedup.dedup_clusters(docs, n_hashes=8, bands=8).toPandas()
+    by_id = got.set_index("doc_id")
+    # exact duplicates 0 and 1 share a cluster with rep = min id
+    assert by_id.loc[1, "rep_id"] == 0 and by_id.loc[0, "rep_id"] == 0
+    assert by_id.loc[0, "cluster_size"] >= 2
+    # unrelated docs 3 and 4 are their own singleton representatives
+    assert by_id.loc[3, "rep_id"] == 3
+    assert by_id.loc[4, "rep_id"] == 4
+    # every doc appears exactly once
+    assert len(got) == got["doc_id"].nunique() == len(docs.toPandas())
