@@ -30,7 +30,7 @@ REPO = Path(__file__).resolve().parents[1]
 # the round-1 operator optimizations (3x faster line/polygon) pushed
 # x1 runs back into fixed-cost territory at the 4N level.
 SCALE_ENV = {
-    "OES_BENCH_POINT_REPLICAS": os.environ.get("OES_SCALE_POINT", "256"),
+    "OES_BENCH_POINT_REPLICAS": os.environ.get("OES_SCALE_POINT", "512"),
     "OES_BENCH_LINE_REPLICAS": os.environ.get("OES_SCALE_LINE", "128"),
     "OES_BENCH_POLY_REPLICAS": os.environ.get("OES_SCALE_POLY", "8"),
     "OES_BENCH_ANN_MULT": os.environ.get("OES_SCALE_ANN", "50"),
@@ -155,6 +155,8 @@ def main() -> None:
         "scaling_efficiency": round(eff, 3),
         "scaling_efficiency_all_replay": round(eff_all, 3),
         "per_query_efficiency": eff_q,
+        "queries_per_run": {f"local{n_small}": r8["queries_per_run"],
+                            f"local{n_big}": r32["queries_per_run"]},
         "target": 0.8,
         "pass": eff >= 0.8,
         "rows_total": r32["rows_total"],
