@@ -27,6 +27,7 @@ import pandas as pd
 from .api import ApiError, ElevationService
 from .operators.color import polygon_color_features, polygon_stats
 from .operators.polygon import polygon_pixels
+from .plans.cache import lease
 
 
 class GrpcAbort(Exception):
@@ -127,14 +128,21 @@ class OpenElevationServicer:
                           "ring": [[{"lon": x, "lat": y} for x, y in ring]]}),
             schema="poly_id long, ring array<struct<lon:double,lat:double>>",
         )
-        stats = polygon_stats(
-            polygon_pixels(polys, svc.images_df, spread=False)
-        ).collect()
+        # ONE pixel dump per RPC: the dump is leased (persisted) so the
+        # stats action materializes it and the dissolve action reads the
+        # cache — the reference likewise fetches pixels once and derives
+        # both from the list (querybuilder.py:77-88).  The former shape
+        # rebuilt the pixel plan for the dissolve, rasterizing twice.
+        pixels = polygon_pixels(polys, svc.images_df, spread=False)
+        lease("grpc_area_pixels", pixels)
+        stats = polygon_stats(pixels).collect()
         if not stats:
             raise GrpcAbort(
                 "INTERNAL", "The requested geometry is outside the bounds of srtm"
             )
-        feats = polygon_color_features(polys, svc.images_df, spread=False).toPandas()
+        feats = polygon_color_features(
+            polys, svc.images_df, spread=False, pixels_df=pixels
+        ).toPandas()
         unions = []
         for _, r in feats.iterrows():
             unions.append({

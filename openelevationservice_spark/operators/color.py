@@ -151,15 +151,24 @@ def _dissolve_partition(batches):
 def polygon_color_features(polygons_df: DataFrame, images_df: DataFrame,
                            num_ranges: int = NUM_RANGES,
                            index_strategy: str = "broadcast",
-                           spread: bool = True) -> DataFrame:
+                           spread: bool = True,
+                           pixels_df: DataFrame | None = None) -> DataFrame:
     """Distributed equivalent of ``group_and_union_geometries``.
 
     Returns one row per dissolved feature:
     (poly_id, height_base, feature_idx, n_rings, area_px, rings).
+
+    Pass ``pixels_df`` (an already-built — typically already-persisted —
+    ``polygon_pixels`` result for the same polygons) to reuse one pixel
+    dump across stats and dissolve; the caller then owns its cache
+    lifecycle and this operator takes no lease of its own.
     """
-    pixels = polygon_pixels(polygons_df, images_df,
-                            index_strategy=index_strategy, spread=spread)
-    lease("color_features", pixels)
+    if pixels_df is not None:
+        pixels = pixels_df
+    else:
+        pixels = polygon_pixels(polygons_df, images_df,
+                                index_strategy=index_strategy, spread=spread)
+        lease("color_features", pixels)
     stats = polygon_stats(pixels)
     banded = with_height_base(pixels, stats, num_ranges)
     return (

@@ -22,10 +22,16 @@ opportunistically on every call.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 
-# (applicationId, slot) -> persisted DataFrames of the newest call
+# (applicationId, slot) -> persisted DataFrames of the newest call.
+# Spark allows concurrent actions from multiple driver threads, so all
+# lease-table mutation happens under one lock (uncontended in the
+# single-threaded bench path; unpersist itself is thread-safe JVM-side).
 _LEASES: dict[tuple[str, str], list[DataFrame]] = {}
+_LOCK = threading.Lock()
 
 
 def _unpersist_all(dfs: list[DataFrame]) -> None:
@@ -55,24 +61,27 @@ def lease(slot: str, *dfs: DataFrame) -> None:
     any action has run."""
     if not dfs:
         return
-    _evict_dead()
-    app = dfs[0].sparkSession.sparkContext.applicationId
-    key = (app, slot)
-    old = _LEASES.pop(key, None)
-    if old is not None:
-        _unpersist_all(old)
-    for df in dfs:
-        df.persist()
-    _LEASES[key] = list(dfs)
+    with _LOCK:
+        _evict_dead()
+        app = dfs[0].sparkSession.sparkContext.applicationId
+        key = (app, slot)
+        old = _LEASES.pop(key, None)
+        if old is not None:
+            _unpersist_all(old)
+        for df in dfs:
+            df.persist()
+        _LEASES[key] = list(dfs)
 
 
 def release(slot: str) -> None:
     """Eagerly drop every app's lease of ``slot``."""
-    for key in [k for k in _LEASES if k[1] == slot]:
-        _unpersist_all(_LEASES.pop(key))
+    with _LOCK:
+        for key in [k for k in _LEASES if k[1] == slot]:
+            _unpersist_all(_LEASES.pop(key))
 
 
 def release_all() -> None:
     """Drop every lease (bench/contract teardown)."""
-    for key in list(_LEASES):
-        _unpersist_all(_LEASES.pop(key))
+    with _LOCK:
+        for key in list(_LEASES):
+            _unpersist_all(_LEASES.pop(key))

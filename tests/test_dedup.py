@@ -128,3 +128,34 @@ def test_dedup_clusters_groups_exact_dups(spark, docs):
     assert by_id.loc[4, "rep_id"] == 4
     # every doc appears exactly once
     assert len(got) == got["doc_id"].nunique() == len(docs.toPandas())
+
+
+def test_connected_components_unpersists_on_nonconvergence(spark, monkeypatch):
+    """A forced non-convergence raise must still release the edge cache
+    (try/finally) — leaked executor storage in a long-lived session is
+    the failure class the lease layer exists to prevent."""
+    # patch the concrete class (pyspark 4: pyspark.sql.DataFrame is the
+    # abstract base; instances are the classic subclass)
+    DataFrame = type(spark.range(1))
+
+    balance: dict[int, int] = {}
+    orig_p, orig_u = DataFrame.persist, DataFrame.unpersist
+
+    def persist(self, *a, **k):
+        balance[id(self)] = balance.get(id(self), 0) + 1
+        return orig_p(self, *a, **k)
+
+    def unpersist(self, *a, **k):
+        balance[id(self)] = balance.get(id(self), 0) - 1
+        return orig_u(self, *a, **k)
+
+    monkeypatch.setattr(DataFrame, "persist", persist)
+    monkeypatch.setattr(DataFrame, "unpersist", unpersist)
+    n = 12                                   # diameter 11 >> max_iters
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": list(range(n - 1)), "id_b": list(range(1, n))})
+    )
+    ids = spark.createDataFrame(pd.DataFrame({"doc_id": list(range(n))}))
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(pairs, ids, max_iters=2)
+    assert balance and all(v == 0 for v in balance.values())

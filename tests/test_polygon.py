@@ -220,6 +220,7 @@ def test_dissolve_bands_of_one_polygon_spread_across_tasks(spark, world, images)
     banded = with_height_base(px, polygon_stats(px))
     # AQE rightly coalesces this toy volume into one partition; disable
     # coalescing to observe the hash spread that holds at real volume
+    saved = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
     try:
         parts = (
@@ -230,7 +231,7 @@ def test_dissolve_bands_of_one_polygon_spread_across_tasks(spark, world, images)
             .toPandas()
         )
     finally:
-        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", saved)
     assert parts["height_base"].nunique() > 1          # polygon has many bands
     assert parts["pid"].nunique() > 1                  # ... in many tasks
     # and each band stays whole (one task per band)
