@@ -22,40 +22,108 @@ from __future__ import annotations
 import numpy as np
 
 
-def _trace_loops(edges: set[tuple[int, int, int, int]]):
-    """Stitch directed edges (x1, y1, x2, y2) into closed loops."""
-    out_map: dict[tuple[int, int], list[tuple[int, int]]] = {}
-    for x1, y1, x2, y2 in edges:
-        out_map.setdefault((x1, y1), []).append((x2, y2))
-    loops = []
-    remaining = set(edges)
-    while remaining:
-        e = next(iter(remaining))
-        start = (e[0], e[1])
-        loop = [start]
-        cur = start
-        prev_dir = None
-        while True:
-            outs = [o for o in out_map.get(cur, []) if (cur[0], cur[1], o[0], o[1]) in remaining]
-            if not outs:
-                break
-            if prev_dir is None or len(outs) == 1:
-                nxt = outs[0]
-            else:
-                # left-most turn relative to incoming direction keeps the
-                # loop on one region at corner-touch (pinch) vertices
-                def turn(o):
-                    dx, dy = o[0] - cur[0], o[1] - cur[1]
-                    return prev_dir[0] * dy - prev_dir[1] * dx
-                nxt = max(outs, key=turn)
-            remaining.discard((cur[0], cur[1], nxt[0], nxt[1]))
-            prev_dir = (nxt[0] - cur[0], nxt[1] - cur[1])
-            if nxt == start:
-                break
-            loop.append(nxt)
-            cur = nxt
+# Directed boundary-edge types, in STORED grid coordinates (y grows
+# downward): R = (1,0), D = (0,1), L = (-1,0), U = (0,-1).  Each
+# boundary edge keeps the pixel set's interior on its left under the
+# max-cross-product turn rule below.
+_DXY = ((1, 0), (0, 1), (-1, 0), (0, -1))
+# tail-vertex offset of each edge type relative to its cell (cx, cy):
+# top side → tail (cx, cy) dir R; right side → (cx+1, cy) dir D;
+# bottom side → (cx+1, cy+1) dir L; left side → (cx, cy+1) dir U.
+_TAIL_OFF = ((0, 0), (1, 0), (1, 1), (0, 1))
+# successor-direction preference per incoming direction: the candidate
+# maximizing cross(prev, cand) = prev_dx*c_dy - prev_dy*c_dx, then
+# straight, then the opposite turn (a same-segment reverse edge cannot
+# exist, so one of the three always does):
+#   R → [D, R, U]; D → [L, D, R]; L → [U, L, D]; U → [R, U, L]
+_PREF = ((1, 0, 3), (2, 1, 0), (3, 2, 1), (0, 3, 2))
+
+
+def _trace_loops_fast(gx: np.ndarray, gy: np.ndarray):
+    """Boundary loops of the pixel set, as (loops, areas2).
+
+    Fully-vectorized successor construction: every directed boundary
+    edge has exactly ONE successor under the turn rule (a pure function
+    of the 2×2 cell occupancy at its head vertex), so the edge set
+    decomposes into the cycles of a permutation — computed here as
+    numpy id-grid gathers, with only the final cycle walk as a plain
+    list chase (~0.1 µs/edge vs ~1.5 µs/edge for the former
+    dict/set-of-tuples tracer, which was 65 % of the bench suite's
+    dominant query).
+
+    Returns ``loops`` (list of vertex lists, tails only, not closed,
+    GLOBAL grid coords) and ``areas2`` (twice the shoelace area per
+    loop, integer-exact) — the area falls out of the walk for free:
+    a unit step contributes x1*y2 − x2*y1 = {R: −y, D: +x, L: +y,
+    U: −x} of its tail, and the per-loop sum is translation-invariant,
+    so the per-edge contributions are precomputed vectorized.
+    """
+    g, x0, y0 = _dense_grid(gx, gy)
+    h, w = g.shape
+    p = np.pad(g, 1)
+    inner = p[1:-1, 1:-1]
+    masks = (
+        inner & ~p[:-2, 1:-1],   # top    → dir R
+        inner & ~p[1:-1, 2:],    # right  → dir D
+        inner & ~p[2:, 1:-1],    # bottom → dir L
+        inner & ~p[1:-1, :-2],   # left   → dir U
+    )
+    txs, tys, counts = [], [], []
+    for d in range(4):
+        yy, xx = np.nonzero(masks[d])
+        ox, oy = _TAIL_OFF[d]
+        txs.append(xx + ox)
+        tys.append(yy + oy)
+        counts.append(len(xx))
+    n = int(sum(counts))
+    if n == 0:
+        return [], []
+    # one id grid per direction over the (h+1) x (w+1) vertex lattice:
+    # (tail vertex, dir) identifies an edge uniquely
+    idg = np.full((4, h + 1, w + 1), -1, dtype=np.int64)
+    offs = np.concatenate(([0], np.cumsum(counts)))
+    tx = np.empty(n, dtype=np.int64)
+    ty = np.empty(n, dtype=np.int64)
+    dirs = np.empty(n, dtype=np.int64)
+    contrib = np.empty(n, dtype=np.int64)
+    for d in range(4):
+        s, e = offs[d], offs[d + 1]
+        tx[s:e] = txs[d]
+        ty[s:e] = tys[d]
+        dirs[s:e] = d
+        idg[d, tys[d], txs[d]] = np.arange(s, e)
+    contrib[dirs == 0] = -ty[dirs == 0]
+    contrib[dirs == 1] = tx[dirs == 1]
+    contrib[dirs == 2] = ty[dirs == 2]
+    contrib[dirs == 3] = -tx[dirs == 3]
+    dx = np.array([o[0] for o in _DXY])[dirs]
+    dy = np.array([o[1] for o in _DXY])[dirs]
+    hx = tx + dx
+    hy = ty + dy
+    pref = np.array(_PREF, dtype=np.int64)[dirs]          # (n, 3)
+    e1 = idg[pref[:, 0], hy, hx]
+    e2 = idg[pref[:, 1], hy, hx]
+    e3 = idg[pref[:, 2], hy, hx]
+    succ = np.where(e1 >= 0, e1, np.where(e2 >= 0, e2, e3)).tolist()
+    gxl = (tx + x0).tolist()
+    gyl = (ty + y0).tolist()
+    cl = contrib.tolist()
+    visited = bytearray(n)
+    loops, areas = [], []
+    for s in range(n):
+        if visited[s]:
+            continue
+        loop = []
+        a = 0
+        cur = s
+        while not visited[cur]:
+            visited[cur] = 1
+            loop.append((gxl[cur], gyl[cur]))
+            a += cl[cur]
+            cur = succ[cur]
         loops.append(loop)
-    return loops
+        areas.append(a)
+    return loops, areas
 
 
 def _signed_area2(loop) -> int:
@@ -91,28 +159,41 @@ def _dense_grid(gx: np.ndarray, gy: np.ndarray):
     return g, x0, y0
 
 
-def _boundary_edges(gx: np.ndarray, gy: np.ndarray) -> set[tuple[int, int, int, int]]:
-    """Directed boundary edges (interior on the LEFT) — numpy boolean-shift
-    masks over the dense local grid, O(bbox) vectorized instead of the
-    former per-pixel Python set membership (continental bands made that
-    the slowest kernel in the engine)."""
-    g, x0, y0 = _dense_grid(gx, gy)
-    p = np.pad(g, 1)
-    inner = p[1:-1, 1:-1]
-    edges: set[tuple[int, int, int, int]] = set()
+def dissolve_pixels_rings(gx: np.ndarray, gy: np.ndarray):
+    """Union of unit squares at integer grid cells (gx, gy), with areas.
 
-    def emit(mask: np.ndarray, dx1: int, dy1: int, dx2: int, dy2: int) -> None:
-        ys, xs = np.nonzero(mask)
-        xs = xs + x0
-        ys = ys + y0
-        for x, y in zip(xs.tolist(), ys.tolist()):
-            edges.add((x + dx1, y + dy1, x + dx2, y + dy2))
+    Returns ``(polys, areas2)``: ``polys`` is a list of polygons, each a
+    list of rings (first = outer shell CCW, rest = holes CW), each ring
+    a list of integer (x, y) grid-corner vertices, closed (first ==
+    last); ``areas2`` mirrors the structure with twice the shoelace
+    signed area of every ring (shell +, hole −) — already computed by
+    the tracer, so callers never re-walk ring vertices for areas.
+    """
+    loops, la = _trace_loops_fast(np.asarray(gx), np.asarray(gy))
+    shells = [(lp, a) for lp, a in zip(loops, la) if a > 0]
+    holes = [(lp, a) for lp, a in zip(loops, la) if a < 0]
 
-    emit(inner & ~p[:-2, 1:-1], 0, 0, 1, 0)    # top, no cell at (x, y-1)
-    emit(inner & ~p[1:-1, 2:], 1, 0, 1, 1)     # right
-    emit(inner & ~p[2:, 1:-1], 1, 1, 0, 1)     # bottom
-    emit(inner & ~p[1:-1, :-2], 0, 1, 0, 0)    # left
-    return edges
+    polys = [{"shell": lp, "area2": a, "holes": []} for lp, a in shells]
+    for hl, ha in holes:
+        # attach to the smallest shell containing the hole's first vertex
+        hx, hy = hl[0]
+        candidates = [
+            p for p in polys if _point_in_loop(hx + 1e-9, hy + 1e-9, p["shell"])
+            or _point_in_loop(hx - 1e-9, hy + 1e-9, p["shell"])
+        ]
+        if candidates:
+            min(candidates, key=lambda p: p["area2"])["holes"].append((hl, ha))
+
+    out, out_areas = [], []
+    for p in polys:
+        rings = [p["shell"] + [p["shell"][0]]]
+        areas = [p["area2"]]
+        for h, ha in p["holes"]:
+            rings.append(h + [h[0]])
+            areas.append(ha)
+        out.append(rings)
+        out_areas.append(areas)
+    return out, out_areas
 
 
 def dissolve_pixels(gx: np.ndarray, gy: np.ndarray):
@@ -122,28 +203,7 @@ def dissolve_pixels(gx: np.ndarray, gy: np.ndarray):
     (first = outer shell CCW, rest = holes CW); each ring is a list of
     integer (x, y) grid-corner vertices, closed (first == last).
     """
-    loops = _trace_loops(_boundary_edges(np.asarray(gx), np.asarray(gy)))
-    shells = [(lp, _signed_area2(lp)) for lp in loops if _signed_area2(lp) > 0]
-    holes = [(lp, _signed_area2(lp)) for lp in loops if _signed_area2(lp) < 0]
-
-    polys = [{"shell": lp, "area2": a, "holes": []} for lp, a in shells]
-    for hl, _ in holes:
-        # attach to the smallest shell containing the hole's first vertex
-        hx, hy = hl[0]
-        candidates = [
-            p for p in polys if _point_in_loop(hx + 1e-9, hy + 1e-9, p["shell"])
-            or _point_in_loop(hx - 1e-9, hy + 1e-9, p["shell"])
-        ]
-        if candidates:
-            min(candidates, key=lambda p: p["area2"])["holes"].append(hl)
-
-    out = []
-    for p in polys:
-        rings = [p["shell"] + [p["shell"][0]]]
-        for h in p["holes"]:
-            rings.append(h + [h[0]])
-        out.append(rings)
-    return out
+    return dissolve_pixels_rings(gx, gy)[0]
 
 
 def _n_components(g: np.ndarray, conn: int) -> int:

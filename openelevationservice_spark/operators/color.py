@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..constants import NUM_RANGES, PX, WORLD_X0, WORLD_Y0
-from ..functions.dissolve import _signed_area2, dissolve_pixels, quad_counts
+from ..functions.dissolve import dissolve_pixels_rings, quad_counts
 from ..plans.cache import lease
 from .polygon import polygon_pixels
 
@@ -73,14 +73,16 @@ FEATURE_SCHEMA = T.StructType(
 def _dissolve_group(pdf: pd.DataFrame) -> pd.DataFrame:
     poly_id = int(pdf["poly_id"].iloc[0])
     hb = int(pdf["height_base"].iloc[0])
-    polys = dissolve_pixels(pdf["gx"].to_numpy(np.int64), pdf["gy"].to_numpy(np.int64))
+    polys, ring_areas = dissolve_pixels_rings(
+        pdf["gx"].to_numpy(np.int64), pdf["gy"].to_numpy(np.int64)
+    )
     rows = []
-    for i, rings in enumerate(polys):
+    for i, (rings, ra) in enumerate(zip(polys, ring_areas)):
         deg_rings = [
             [{"x": WORLD_X0 + gx * PX, "y": WORLD_Y0 - gy * PX} for gx, gy in ring]
             for ring in rings
         ]
-        area = sum(_signed_area2(r[:-1]) / 2.0 for r in rings)
+        area = sum(ra) / 2.0
         rows.append({
             "poly_id": poly_id,
             "height_base": hb,
@@ -210,10 +212,10 @@ def _invariants_group(pdf: pd.DataFrame) -> dict:
     """
     gx = pdf["gx"].to_numpy(np.int64)
     gy = pdf["gy"].to_numpy(np.int64)
-    polys = dissolve_pixels(gx, gy)
+    polys, ring_areas = dissolve_pixels_rings(gx, gy)
     n_shells = len(polys)
     n_holes = sum(len(rings) - 1 for rings in polys)
-    area2 = sum(_signed_area2(r[:-1]) for rings in polys for r in rings)
+    area2 = sum(a for areas in ring_areas for a in areas)
     q1, q3, qd = quad_counts(gx, gy)
     euler4 = (q1 - q3 + 2 * qd) // 4
     euler8 = (q1 - q3 - 2 * qd) // 4

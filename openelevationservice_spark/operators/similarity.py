@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+import os
 
 import numpy as np
 import pandas as pd
@@ -70,7 +71,17 @@ def topk_per_query(scored: DataFrame, k: int, query_id: str, corpus_id: str,
     so per-task memory is O(q·k + batch), independent of partition size
     (VERDICT r2 "What's wrong" #4 — the former shape concatenated the
     whole partition first).  The total ordering (query, -sim, corpus_id)
-    makes the cut deterministic, ties included.
+    makes the cut deterministic, ties included ((query, corpus) is a
+    row key, so the ordering is total and the kept SET is unique).
+
+    The per-batch cut runs on raw numpy column arrays (``lexsort`` +
+    vectorized rank-within-run); the round-3 shape re-built a pandas
+    frame and ran ``sort_values`` + ``groupby().head`` per batch, whose
+    object churn in the shared heap was the measured 2→8-core scaling
+    regression (BENCH/SCALE.md r4 A/B: the numpy cut is ~2× faster per
+    batch and restores ann_topk eff ≥ its r2 level).  ``impl="pandas"``
+    keeps the old kernel selectable for A/B runs; key columns with
+    object dtype also fall back to it (lexsort needs primitive keys).
 
     ``scored`` should be pre-projected to (query_id, corpus_id, sim):
     extra columns are carried through the Arrow boundary and cost
@@ -78,19 +89,55 @@ def topk_per_query(scored: DataFrame, k: int, query_id: str, corpus_id: str,
     """
     schema = scored.schema
     cols = [f.name for f in schema.fields]
+    impl = os.environ.get("OES_TOPK_PRUNE", "numpy")
 
-    def prune(batches):
+    def _cut_pandas(both: pd.DataFrame) -> pd.DataFrame:
+        both = both.sort_values([query_id, sim_col, corpus_id],
+                                ascending=[True, False, True], kind="stable")
+        return both.groupby(query_id, sort=False).head(k)
+
+    def prune_pandas(batches):
         carry = None
         for pdf in batches:
             if not len(pdf):
                 continue
             both = pdf if carry is None else pd.concat([carry, pdf], ignore_index=True)
-            both = both.sort_values([query_id, sim_col, corpus_id],
-                                    ascending=[True, False, True], kind="stable")
-            carry = both.groupby(query_id, sort=False).head(k)
+            carry = _cut_pandas(both)
         yield carry if carry is not None else pd.DataFrame(columns=cols)
 
-    pruned = scored.mapInPandas(prune, schema=schema)
+    def prune_numpy(batches):
+        arrs: dict[str, np.ndarray] | None = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            if arrs is None:
+                if any(pdf[c].dtype == object for c in (query_id, sim_col, corpus_id)):
+                    # non-primitive keys: delegate to the pandas kernel
+                    yield from prune_pandas(iter([pdf] + list(batches)))
+                    return
+                arrs = {c: pdf[c].to_numpy() for c in cols}
+            else:
+                new = {c: pdf[c].to_numpy() for c in cols}
+                arrs = {c: np.concatenate([arrs[c], new[c]]) for c in cols}
+            qv, sv, cv = arrs[query_id], arrs[sim_col], arrs[corpus_id]
+            # total order (query asc, sim desc, corpus asc); rank-in-run
+            # beats a per-key argpartition here because batches hold many
+            # small query groups (one partition sees every query)
+            order = np.lexsort((cv, -sv.astype(np.float64, copy=False), qv))
+            qs = qv[order]
+            new_run = np.empty(len(qs), dtype=bool)
+            new_run[0] = True
+            np.not_equal(qs[1:], qs[:-1], out=new_run[1:])
+            starts = np.flatnonzero(new_run)
+            run_id = np.cumsum(new_run) - 1
+            rank = np.arange(len(qs)) - starts[run_id]
+            keep = np.sort(order[rank < k])
+            arrs = {c: a[keep] for c, a in arrs.items()}
+        yield pd.DataFrame(arrs) if arrs is not None else pd.DataFrame(columns=cols)
+
+    pruned = scored.mapInPandas(
+        prune_pandas if impl == "pandas" else prune_numpy, schema=schema
+    )
     w2 = Window.partitionBy(query_id).orderBy(F.desc(sim_col), F.col(corpus_id))
     return (
         pruned.withColumn("rank", F.row_number().over(w2))
@@ -100,22 +147,102 @@ def topk_per_query(scored: DataFrame, k: int, query_id: str, corpus_id: str,
 
 def cosine_topk(corpus_df: DataFrame, queries_df: DataFrame, k: int = 3,
                 corpus_id: str = "vec_id", corpus_vec: str = "embedding",
-                query_id: str = "q_id", query_vec: str = "q_vec") -> DataFrame:
+                query_id: str = "q_id", query_vec: str = "q_vec",
+                method: str = "arrow") -> DataFrame:
     """Exact brute-force top-k: (q_id, rank, vec_id, sim).
 
-    The query side is broadcast (it is small by construction); the scan
-    over the corpus is embarrassingly parallel; top-k goes through the
-    two-stage partial prune (no per-query window funnel).
+    The query side is tiny by construction (it rides inside the scoring
+    task); the scan over the corpus is embarrassingly parallel; the
+    final per-query window ranks only ≤ P·k survivors.
+
+    ``method="arrow"`` (default, the scale path) fuses scoring and the
+    per-partition top-k prune into ONE ``mapInPandas`` kernel: each
+    Arrow batch of corpus vectors is scored against every query with a
+    *sequential-in-dimension* accumulation loop — the identical IEEE
+    operation order as the JVM fold / the SQL oracle's ``list_reduce``
+    (acc = ((0 + x₀y₀) + x₁y₁) + …, norms as sequential squared sums,
+    then one multiply and one divide), so results are bit-exact across
+    all three engines — and cut to the per-query running top-k
+    (partition + tie-resolving lexsort on the ≥kth slice, O(n) per
+    batch).  Rationale (BENCH/SCALE.md r4 decomposition): the
+    ``method="jvm"`` shape's ``aggregate``/``zip_with`` fold is
+    CodegenFallback — interpreted, one boxed object per element — and
+    was measured as ~95 % of query wall with a 0.75 scaling ceiling
+    from single-JVM-heap allocation contention; the Arrow kernel runs
+    in separate worker processes and sidesteps both.
     """
-    vec_d = F.transform(F.col(corpus_vec), lambda x: x.cast("double"))
-    qvec_d = F.transform(F.col(query_vec), lambda x: x.cast("double"))
-    c = corpus_df.select(F.col(corpus_id), vec_d.alias("_cv"))
-    q = queries_df.select(F.col(query_id), qvec_d.alias("_qv"))
-    j = c.crossJoin(F.broadcast(q))
-    j = j.select(query_id, corpus_id,
-                 cosine_similarity_col(F.col("_cv"), F.col("_qv")).alias("sim"))
-    return topk_per_query(j, k, query_id, corpus_id).select(
-        query_id, "rank", corpus_id, "sim"
+    if method == "jvm":
+        vec_d = F.transform(F.col(corpus_vec), lambda x: x.cast("double"))
+        qvec_d = F.transform(F.col(query_vec), lambda x: x.cast("double"))
+        c = corpus_df.select(F.col(corpus_id), vec_d.alias("_cv"))
+        q = queries_df.select(F.col(query_id), qvec_d.alias("_qv"))
+        j = c.crossJoin(F.broadcast(q))
+        j = j.select(query_id, corpus_id,
+                     cosine_similarity_col(F.col("_cv"), F.col("_qv")).alias("sim"))
+        return topk_per_query(j, k, query_id, corpus_id).select(
+            query_id, "rank", corpus_id, "sim"
+        )
+    if method != "arrow":
+        raise ValueError(f"unknown cosine_topk method {method!r}")
+
+    qpdf = queries_df.select(query_id, query_vec).toPandas()
+    qids = qpdf[query_id].to_numpy()
+    qmat = np.stack([np.asarray(v, dtype=np.float64) for v in qpdf[query_vec]])
+    nq, dim = qmat.shape
+    qacc = np.zeros(nq)
+    for i in range(dim):                       # sequential fold, like _norm
+        qacc += qmat[:, i] * qmat[:, i]
+    qn = np.sqrt(qacc)
+
+    schema = T.StructType([
+        T.StructField(query_id, queries_df.schema[query_id].dataType),
+        T.StructField(corpus_id, corpus_df.schema[corpus_id].dataType),
+        T.StructField("sim", T.DoubleType()),
+    ])
+
+    def score_prune(batches):
+        best_c = [None] * nq
+        best_s = [None] * nq
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cids = pdf[corpus_id].to_numpy()
+            mat = np.stack(pdf[corpus_vec].to_numpy()).astype(np.float64)
+            n = len(cids)
+            dots = np.zeros((n, nq))
+            cacc = np.zeros(n)
+            for i in range(dim):
+                col = mat[:, i]
+                dots += col[:, None] * qmat[:, i]
+                cacc += col * col
+            sims = dots / (np.sqrt(cacc)[:, None] * qn)
+            for j in range(nq):
+                s = sims[:, j] if best_s[j] is None else np.concatenate([best_s[j], sims[:, j]])
+                c = cids if best_c[j] is None else np.concatenate([best_c[j], cids])
+                if len(s) > k:
+                    kth = np.partition(s, len(s) - k)[len(s) - k]
+                    cand = np.flatnonzero(s >= kth)      # > kth plus ALL kth ties
+                    order = np.lexsort((c[cand], -s[cand]))
+                    keep = cand[order[:k]]
+                else:
+                    keep = np.arange(len(s))
+                best_s[j] = s[keep]
+                best_c[j] = c[keep]
+        if best_s[0] is None:
+            return
+        counts = [len(s) for s in best_s]
+        yield pd.DataFrame({
+            query_id: np.repeat(qids, counts),
+            corpus_id: np.concatenate(best_c),
+            "sim": np.concatenate(best_s),
+        })
+
+    pruned = corpus_df.select(corpus_id, corpus_vec).mapInPandas(score_prune, schema)
+    w2 = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.col(corpus_id))
+    return (
+        pruned.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(query_id, "rank", corpus_id, "sim")
     )
 
 
