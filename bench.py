@@ -269,6 +269,16 @@ def run_bench(spark, sf_dir: str) -> dict:
     timed_action("minhash_lsh",
                  lambda: dedup.lsh_candidate_pairs(docs_big, n_hashes=8, bands=4).count())
 
+    # end-to-end near-dup grouping (LSH pairs -> connected components).
+    # Shares the namespaced corpus (and therefore the minhash volume
+    # knob): per-replica word prefixes keep the dup graphs of the
+    # replicas DISJOINT, so component count and rounds-to-fixpoint stay
+    # constant while edge volume scales linearly — replicating identical
+    # text would instead merge all replicas into cross-replica cliques
+    # and change the measured algorithm.
+    timed_action("dedup_clusters",
+                 lambda: dedup.dedup_clusters(docs_big, n_hashes=8, bands=4).count())
+
     q = emb.filter(F.col("vec_id") < 8).select(F.col("vec_id").alias("q_id"),
                                                F.col("embedding").alias("q_vec"))
     emb_big = (emb.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(ANN_MULT - 1))))
@@ -297,7 +307,7 @@ def run_bench(spark, sf_dir: str) -> dict:
     knob_of = {"point_replay": "point", "line_replay": "line",
                "polygon_dump": "poly", "ann_topk": "ann",
                "tile_ingest_stats": "tile", "color_dissolve": "dissolve",
-               "minhash_lsh": "minhash"}
+               "minhash_lsh": "minhash", "dedup_clusters": "minhash"}
     prev = _previous_round()
     if prev.get("prev_queries"):
         prev_rep = prev.get("prev_replicas") or {}

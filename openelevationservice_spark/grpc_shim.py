@@ -161,3 +161,54 @@ class OpenElevationServicer:
             "maxElevation": int(s["max_z"]),
             "avgElevation": float(s["avg_z"]),
         }
+
+
+#: RPC names of the reference service ``propagamap.OpenElevation``
+#: (openelevation.proto:58-63).
+RPC_NAMES = ("PointElevation", "LineElevation",
+             "AreaPointsElevation", "AreaRangesElevation")
+
+
+def grpc_serve(service: ElevationService, port: int = 0):
+    """Bind the shim to a real in-process ``grpc.server`` (reference
+    ``grpc_serve``, grpc_server.py:143-158) when ``grpcio`` is
+    importable — raises ImportError otherwise (this sandbox has no
+    grpcio; the binding is feature-gated, the computation above is
+    tested regardless).
+
+    Messages travel as JSON-encoded bytes under the reference's service
+    path ``/propagamap.OpenElevation/<Rpc>`` via generic RPC handlers —
+    the same four RPCs and field names as ``openelevation_pb2``, without
+    vendoring protobuf codegen output.  ``GrpcAbort`` maps to a real
+    ``context.abort`` with the same status code and details.
+
+    Returns ``(server, bound_port)``; caller owns ``server.stop()``.
+    """
+    import json
+    from concurrent import futures
+
+    import grpc  # gated: ImportError here means "transport unavailable"
+
+    servicer = OpenElevationServicer(service)
+
+    def _unary(method):
+        def handler(request_bytes: bytes, context):
+            try:
+                resp = method(json.loads(request_bytes))
+            except GrpcAbort as e:
+                context.abort(getattr(grpc.StatusCode, e.status_code), e.details)
+                return  # pragma: no cover - abort raises
+            return json.dumps(resp).encode()
+        return handler
+
+    handlers = {
+        name: grpc.unary_unary_rpc_method_handler(_unary(getattr(servicer, name)))
+        for name in RPC_NAMES
+    }
+    server = grpc.server(futures.ThreadPoolExecutor(max_workers=4))
+    server.add_generic_rpc_handlers(
+        (grpc.method_handlers_generic_handler("propagamap.OpenElevation", handlers),)
+    )
+    bound = server.add_insecure_port(f"localhost:{port}")
+    server.start()
+    return server, bound

@@ -325,5 +325,12 @@ def dedup_clusters(df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     representative."""
     pairs = lsh_candidate_pairs(df, id_col, text_col, n_hashes, bands, shingle_n)
     cc = connected_components(pairs, df.select(id_col), id_col)
-    sizes = cc.groupBy("rep_id").agg(F.count(F.lit(1)).alias("cluster_size"))
-    return cc.join(F.broadcast(sizes), "rep_id").select(id_col, "rep_id", "cluster_size")
+    # cluster_size via a window over rep_id: ONE hash exchange, no
+    # driver-side materialization.  (A broadcast of the sizes table
+    # would bound the operator by driver memory — the sizes table has
+    # ~one row per document at low dup rates, i.e. it grows with the
+    # corpus, not with the dup structure.)
+    return cc.select(
+        id_col, "rep_id",
+        F.count(F.lit(1)).over(Window.partitionBy("rep_id")).alias("cluster_size"),
+    )

@@ -124,3 +124,27 @@ def test_area_ranges_single_pixel_dump(servicer, world, monkeypatch):
     resp = servicer.AreaRangesElevation(req)
     assert resp["unions"]
     assert len(calls) == 1
+
+
+def test_grpc_serve_over_local_socket(servicer, world):
+    """Feature-gated wire transport: the four RPCs served over a real
+    local socket (reference grpc_serve, grpc_server.py:143-158).
+    Skipped where grpcio is not installed (this sandbox) — the servicer
+    computation is covered by the tests above either way."""
+    grpc = pytest.importorskip("grpc")
+    import json
+
+    from openelevationservice_spark.grpc_shim import grpc_serve
+
+    server, port = grpc_serve(servicer.service)
+    try:
+        with grpc.insecure_channel(f"localhost:{port}") as chan:
+            call = chan.unary_unary("/propagamap.OpenElevation/PointElevation")
+            resp = json.loads(call(json.dumps(
+                {"lon": VALID[0], "lat": VALID[1]}).encode()))
+            assert resp == {"value": 44}
+            with pytest.raises(grpc.RpcError) as e:
+                call(json.dumps({"lon": BREMEN[0], "lat": BREMEN[1]}).encode())
+            assert e.value.code() == grpc.StatusCode.INTERNAL
+    finally:
+        server.stop(None)
