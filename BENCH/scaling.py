@@ -33,7 +33,7 @@ SCALE_ENV = {
     "OES_BENCH_POINT_REPLICAS": os.environ.get("OES_SCALE_POINT", "512"),
     "OES_BENCH_LINE_REPLICAS": os.environ.get("OES_SCALE_LINE", "128"),
     "OES_BENCH_POLY_REPLICAS": os.environ.get("OES_SCALE_POLY", "8"),
-    "OES_BENCH_ANN_MULT": os.environ.get("OES_SCALE_ANN", "50"),
+    "OES_BENCH_ANN_MULT": os.environ.get("OES_SCALE_ANN", "800"),
     "OES_BENCH_TILE_REPS": os.environ.get("OES_SCALE_TILE", "64"),
     "OES_BENCH_MINHASH_REPLICAS": os.environ.get("OES_SCALE_MINHASH", "8"),
     "OES_BENCH_REPS": os.environ.get("OES_SCALE_REPS", "3"),
