@@ -94,6 +94,11 @@ def _dissolve_group(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA.fields])
 
 
+def _dissolve_partitions(df: DataFrame) -> int:
+    """Partition count for the dissolve exchange: 4 tasks per core."""
+    return df.sparkSession.sparkContext.defaultParallelism * 4
+
+
 def _iter_sorted_groups(batches):
     """Stream (poly_id, height_base) groups out of a partition whose rows
     are SORTED by that key (``sortWithinPartitions`` upstream).
@@ -175,7 +180,13 @@ def polygon_color_features(polygons_df: DataFrame, images_df: DataFrame,
     banded = with_height_base(pixels, stats, num_ranges)
     return (
         banded.select("poly_id", "height_base", "gx", "gy")
-        .repartition("poly_id", "height_base")
+        # explicit partition count: AQE's byte-based coalescing merges
+        # these small-by-bytes partitions down to a handful of tasks,
+        # but the python dissolve kernel's cost per byte is orders of
+        # magnitude above a normal shuffle read, so coalescing creates
+        # a straggler tail (measured 15%+ at local[32], worse under
+        # ambient load).  4x slots keeps the kernel stage amortizable.
+        .repartition(_dissolve_partitions(banded), "poly_id", "height_base")
         .sortWithinPartitions("poly_id", "height_base")
         .mapInPandas(_dissolve_partition, schema=FEATURE_SCHEMA)
     )
@@ -258,7 +269,13 @@ def polygon_color_invariants(polygons_df: DataFrame, images_df: DataFrame,
     banded = with_height_base(pixels, stats, num_ranges)
     return (
         banded.select("poly_id", "height_base", "gx", "gy")
-        .repartition("poly_id", "height_base")
+        # explicit partition count: AQE's byte-based coalescing merges
+        # these small-by-bytes partitions down to a handful of tasks,
+        # but the python dissolve kernel's cost per byte is orders of
+        # magnitude above a normal shuffle read, so coalescing creates
+        # a straggler tail (measured 15%+ at local[32], worse under
+        # ambient load).  4x slots keeps the kernel stage amortizable.
+        .repartition(_dissolve_partitions(banded), "poly_id", "height_base")
         .sortWithinPartitions("poly_id", "height_base")
         .mapInPandas(_invariants_partition, schema=INVARIANT_SCHEMA)
     )
