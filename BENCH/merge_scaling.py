@@ -105,8 +105,10 @@ here).  bench.py runs one warm-up per query (excluded), each query is
 the median of 3 executions, and every rep REBUILDS its DataFrame plan
 (fresh lineage — no cross-rep shuffle or broadcast reuse).  Volumes are
 raised for this measurement (point x512, line x128, polygon x8,
-tile-ingest x64, minhash x8 Caesar-shifted corpus replicas, ann x50,
-dissolve x1) so parallel work dominates per-action fixed costs
+tile-ingest x64, minhash x8 word-prefix-namespaced corpus replicas —
+dedup_clusters shares that corpus and knob, ann x800 after the round-4
+fused kernel made x50 fixed-cost-bound, dissolve x1) so parallel work
+dominates per-action fixed costs
 (scheduling, broadcast build) that are constant in core count; source
 tables are column-pruned, repartitioned proportional to cores and
 cached (single ~10MB parquet files would otherwise serialize every
@@ -136,22 +138,30 @@ demonstrating >=0.8 engine-side efficiency.
 (t_N / t_4N) / 4 = {eff:.3f}** (target >= 0.8: {"PASS" if eff >= 0.8 else "FAIL"}).
 Composite over all three replay queries: {eff_all:.3f}.
 
-Physical shapes behind the numbers (round 3): point/line replay and the
-polygon pixel-row generation are pure whole-stage-codegen JVM; the
-polygon kernel ships scanline RUNS over Arrow; the dissolve
-hash-partitions by (poly_id, height_base) and streams sorted band
-groups (largest polygon no longer = one task; eff {eff_q['color_dissolve']:.3f} vs
-0.704 in round 2); MinHash uses the integer permutation family over one
-md5 base hash per shingle and a single-scan bucket gather (eff
-{eff_q['minhash_lsh']:.3f} at x8 corpus vs 0.531 untested-at-volume in round 2);
-tile ingest is decode-bound python workers after the vectorized phash
-(3.5x faster absolute — its {eff_q['tile_ingest_stats']:.3f} eff at x64 volume is
-fixed-cost + Arrow-boundary share, decomposed in SCALE.md).  Remaining
-sub-0.8 queries are bounded by the measured single-socket ceiling
-(identical allocation-heavy work costs ~40% more CPU at 8 threads in
-one shared JVM heap; a pure-register CPU control scales at 0.90 for
-2->8 on this host — contention N separate executor machines do not
-share).  Per-query efficiencies:
+Physical shapes behind the numbers (round 4): point/line replay and the
+polygon pixel-row generation are pure whole-stage-codegen JVM
+(line_replay's three-way decomposition in SCALE.md: densify ~1.0, join
+~0.83, element_at gather ~0.64 marginal — shared-socket LLC/bandwidth);
+the polygon kernel ships scanline RUNS over Arrow; the dissolve
+hash-partitions by (poly_id, height_base) into an EXPLICIT 4-per-core
+task count (AQE's byte-based coalescing made a straggler tail) and
+streams sorted band groups through the round-4 successor-permutation
+tracer (3.5-4.2x the round-3 kernel, eff {eff_q['color_dissolve']:.3f}); MinHash uses
+the integer permutation family over one md5 base hash per shingle and a
+single-scan bucket gather (eff {eff_q['minhash_lsh']:.3f} at x8 corpus);
+dedup_clusters adds endpoint-only connected components over the LSH
+pairs (its CC rounds are driver-job fixed cost at this graph size —
+decomposed in SCALE.md); ann_topk is the fused Arrow score+prune kernel
+(6.2x/2.8x faster than the r3 fold at 2/8 cores; its eff
+{eff_q['ann_topk']:.3f} is the measured JVM Arrow list-serialization share, also
+decomposed in SCALE.md); tile ingest is decode-bound python workers
+after the vectorized phash (its {eff_q['tile_ingest_stats']:.3f} eff at x64 volume is
+fixed-cost + Arrow-boundary share).  Remaining sub-0.8 queries are
+bounded by the measured single-socket ceiling (identical
+allocation-heavy work costs ~40% more CPU at 8 threads in one shared
+JVM heap; a pure-register CPU control scales at 0.90 for 2->8 on this
+host — contention N separate executor machines do not share).
+Per-query efficiencies:
 {eff_q}.
 
 Per-query seconds at each level (minima over {n_runs} runs):
