@@ -112,3 +112,29 @@ def test_polygon_runs_plan_generates_rows_in_jvm(spark, images):
     # two MapInPandas total: tile decode (build side) + run kernel
     assert plan.count("MapInPandas") == 2
     assert "BatchEvalPython" not in plan
+
+
+def test_dissolve_exchange_partition_count_is_explicit(spark, images, world):
+    """The dissolve's (poly_id, height_base) exchange must carry an
+    EXPLICIT partition count (4 per core): AQE's byte-based coalescing
+    otherwise merges the small-by-bytes band partitions into a straggler
+    tail for the python kernel (round-4 A/B: 14.4-17.4 s vs 17.0-47.8 s
+    at local[32])."""
+    import re
+
+    from openelevationservice_spark.operators.color import polygon_color_invariants
+
+    polys = spark.createDataFrame(
+        pd.DataFrame({
+            "poly_id": [0],
+            "ring": [[{"lon": world.min_x + dx, "lat": world.max_y - dy}
+                      for dx, dy in ((0.01, 0.01), (0.4, 0.01), (0.4, 0.4),
+                                     (0.01, 0.4), (0.01, 0.01))]],
+        }),
+        schema="poly_id long, ring array<struct<lon:double,lat:double>>",
+    )
+    plan = ex.explain_str(polygon_color_invariants(polys, images))
+    want = spark.sparkContext.defaultParallelism * 4
+    m = re.search(r"hashpartitioning\(poly_id[^,]*, height_base[^,]*, (\d+)\)", plan)
+    assert m, "dissolve band exchange missing from plan"
+    assert int(m.group(1)) == want, (m.group(0), want)
