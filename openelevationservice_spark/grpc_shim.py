@@ -20,6 +20,7 @@ with ``StatusCode.INTERNAL`` and the error message as details.
 
 from __future__ import annotations
 
+import itertools
 from dataclasses import dataclass
 
 import pandas as pd
@@ -27,7 +28,14 @@ import pandas as pd
 from .api import ApiError, ElevationService
 from .operators.color import polygon_color_features, polygon_stats
 from .operators.polygon import polygon_pixels
-from .plans.cache import lease
+from .plans.cache import lease, release
+
+#: per-RPC lease-slot counter: grpc_serve runs a thread pool, and a
+#: single shared slot would let a concurrent AreaRangesElevation RPC's
+#: lease() unpersist the in-flight RPC's pixel dump between its stats
+#: collect and the dissolve — correct results, cache benefit silently
+#: lost (round-4 ADVICE).  itertools.count() is atomic under the GIL.
+_AREA_RPC_SEQ = itertools.count()
 
 
 class GrpcAbort(Exception):
@@ -133,16 +141,24 @@ class OpenElevationServicer:
         # cache — the reference likewise fetches pixels once and derives
         # both from the list (querybuilder.py:77-88).  The former shape
         # rebuilt the pixel plan for the dissolve, rasterizing twice.
+        # The slot is per-call (and released at RPC end): concurrent
+        # area RPCs from grpc_serve's thread pool must not evict each
+        # other's in-flight cache.
+        slot = f"grpc_area_pixels:{next(_AREA_RPC_SEQ)}"
         pixels = polygon_pixels(polys, svc.images_df, spread=False)
-        lease("grpc_area_pixels", pixels)
-        stats = polygon_stats(pixels).collect()
-        if not stats:
-            raise GrpcAbort(
-                "INTERNAL", "The requested geometry is outside the bounds of srtm"
-            )
-        feats = polygon_color_features(
-            polys, svc.images_df, spread=False, pixels_df=pixels
-        ).toPandas()
+        lease(slot, pixels)
+        try:
+            stats = polygon_stats(pixels).collect()
+            if not stats:
+                raise GrpcAbort(
+                    "INTERNAL",
+                    "The requested geometry is outside the bounds of srtm",
+                )
+            feats = polygon_color_features(
+                polys, svc.images_df, spread=False, pixels_df=pixels
+            ).toPandas()
+        finally:
+            release(slot)
         unions = []
         for _, r in feats.iterrows():
             unions.append({

@@ -319,7 +319,7 @@ def line_vertices_elevation(lines_df: DataFrame, images_df: DataFrame,
 
 def line_elevation(lines_df: DataFrame, images_df: DataFrame,
                    index_strategy: str = "broadcast",
-                   gather_strategy: str = "broadcast") -> DataFrame:
+                   gather_strategy: str = "jvm") -> DataFrame:
     """Assembled 3-D lines: (line_id, n_vertices, is_degenerate_point, vertices).
 
     ``vertices`` is the ordered array of (x, y, z) structs —

@@ -23,6 +23,7 @@ through ≤|queries| partitions (that was a straggler by construction at
 from __future__ import annotations
 
 import hashlib
+import itertools
 import math
 import os
 
@@ -34,6 +35,12 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..plans.cache import lease
+
+#: cap on driver-collected query rows for the brute-force paths — the
+#: query side is broadcast-in-closure by design; beyond this, use the
+#: bucketed (LSH/IVF) operators whose query side never funnels through
+#: the driver.
+MAX_DRIVER_QUERIES = 10_000
 
 
 def _dot(a, b):
@@ -112,8 +119,12 @@ def topk_per_query(scored: DataFrame, k: int, query_id: str, corpus_id: str,
                 continue
             if arrs is None:
                 if any(pdf[c].dtype == object for c in (query_id, sim_col, corpus_id)):
-                    # non-primitive keys: delegate to the pandas kernel
-                    yield from prune_pandas(iter([pdf] + list(batches)))
+                    # non-primitive keys: delegate to the pandas kernel.
+                    # chain() keeps streaming batch-at-a-time — list(batches)
+                    # would materialize the rest of the partition at once,
+                    # voiding the bounded O(q·k + batch) memory contract
+                    # exactly when ids are strings (round-4 ADVICE).
+                    yield from prune_pandas(itertools.chain([pdf], batches))
                     return
                 arrs = {c: pdf[c].to_numpy() for c in cols}
             else:
@@ -185,7 +196,30 @@ def cosine_topk(corpus_df: DataFrame, queries_df: DataFrame, k: int = 3,
     if method != "arrow":
         raise ValueError(f"unknown cosine_topk method {method!r}")
 
-    qpdf = queries_df.select(query_id, query_vec).toPandas()
+    # The query side rides inside every scoring task (driver collect +
+    # closure capture) — that is the operator's contract and only holds
+    # for small query sets.  The LIMIT cap makes an oversized queries_df
+    # fail loudly BEFORE it can materialize on the driver (one job, no
+    # separate count action).
+    qpdf = (queries_df.select(query_id, query_vec)
+            .limit(MAX_DRIVER_QUERIES + 1).toPandas())
+    if len(qpdf) > MAX_DRIVER_QUERIES:
+        raise ValueError(
+            f"cosine_topk(method='arrow') collects the query side to the "
+            f"driver; got > {MAX_DRIVER_QUERIES} queries. For large query "
+            f"sets use lsh_ann_topk/ivf_topk (bucketed equi-joins) or "
+            f"score in chunks."
+        )
+    if not len(qpdf):
+        # empty query set: empty result, correct schema (the jvm path's
+        # join would likewise produce no rows)
+        schema = T.StructType([
+            T.StructField(query_id, queries_df.schema[query_id].dataType),
+            T.StructField("rank", T.IntegerType(), False),
+            T.StructField(corpus_id, corpus_df.schema[corpus_id].dataType),
+            T.StructField("sim", T.DoubleType()),
+        ])
+        return corpus_df.sparkSession.createDataFrame([], schema)
     qids = qpdf[query_id].to_numpy()
     qmat = np.stack([np.asarray(v, dtype=np.float64) for v in qpdf[query_vec]])
     nq, dim = qmat.shape

@@ -97,6 +97,21 @@ def test_line_default_path_is_pure_jvm(spark, images):
     assert "BatchEvalPython" not in plan
 
 
+def test_line_elevation_default_gather_is_jvm(spark, images):
+    """The assembled-line wrapper must inherit the scale-safe JVM gather
+    by default (round-4 verdict #1: the wrapper was missed when the
+    defaults flipped).  Exactly one MapInPandas node (build-side tile
+    decode; formatted explain prints each node twice — tree + detail); a
+    broadcast-grid gather would add a probe-side node."""
+    from openelevationservice_spark.operators.line import line_elevation
+
+    lines = spark.createDataFrame(pd.DataFrame({
+        "line_id": [1], "x1": [13.2], "y1": [38.2], "x2": [13.21], "y2": [38.21]}))
+    plan = ex.explain_str(line_elevation(lines, images))
+    assert plan.count("MapInPandas") == 2
+    assert "BatchEvalPython" not in plan
+
+
 def test_polygon_runs_plan_generates_rows_in_jvm(spark, images):
     """Run-encoded polygon dump: exactly one probe-side MapInPandas (the
     run kernel); pixel rows come from a JVM Generate (posexplode)."""

@@ -153,6 +153,24 @@ def test_exact_nn_plan_has_no_cartesian_product(spark, corpus):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_cosine_topk_empty_queries(spark, corpus):
+    """An empty query set returns an empty result with the output schema
+    (round-4 ADVICE: np.stack([]) used to raise on the driver)."""
+    queries = spark.createDataFrame([], schema="q_id long, q_vec array<float>")
+    got = sim.cosine_topk(corpus, queries, k=3)
+    assert got.columns == ["q_id", "rank", "vec_id", "sim"]
+    assert got.count() == 0
+
+
+def test_cosine_topk_query_collect_is_capped(spark, corpus, monkeypatch):
+    """The arrow path collects the query side to the driver — an
+    oversized queries_df must fail loudly, not silently materialize."""
+    monkeypatch.setattr(sim, "MAX_DRIVER_QUERIES", 3)
+    queries = corpus.limit(10).selectExpr("vec_id as q_id", "embedding as q_vec")
+    with pytest.raises(ValueError, match="collects the query side"):
+        sim.cosine_topk(corpus, queries, k=3)
+
+
 def test_topk_per_query_equals_single_window(spark, corpus):
     """The salted two-stage top-k is output-identical to one window."""
     from pyspark.sql import Window, functions as F
