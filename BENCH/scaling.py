@@ -34,7 +34,12 @@ SCALE_ENV = {
     "OES_BENCH_LINE_REPLICAS": os.environ.get("OES_SCALE_LINE", "128"),
     "OES_BENCH_POLY_REPLICAS": os.environ.get("OES_SCALE_POLY", "8"),
     "OES_BENCH_ANN_MULT": os.environ.get("OES_SCALE_ANN", "800"),
-    "OES_BENCH_TILE_REPS": os.environ.get("OES_SCALE_TILE", "64"),
+    # tile x128 (was x64): the r3 decomposition measured eff ~0.60 at
+    # x64 vs ~0.70 at x128 — the difference is purely the constant
+    # ~0.5 s per-action share shrinking as volume grows (the operator
+    # has no exchange at all), so the recorded level should be the one
+    # where parallel work dominates (VERDICT r4 #7)
+    "OES_BENCH_TILE_REPS": os.environ.get("OES_SCALE_TILE", "128"),
     "OES_BENCH_MINHASH_REPLICAS": os.environ.get("OES_SCALE_MINHASH", "8"),
     "OES_BENCH_REPS": os.environ.get("OES_SCALE_REPS", "3"),
 }

@@ -24,6 +24,7 @@ import hashlib
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 #: modulus of the permutation family (Mersenne prime 2^31 - 1).
 #: overflow audit: a < 2^31-1, x < 2^32 → a*x + b < 2^63 - 2^31 + 2^31
@@ -245,9 +246,45 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
     )
 
 
+#: pair-count ceiling for the driver union-find fast path of
+#: :func:`connected_components`.  The pair list is the LSH/SimHash
+#: candidate output — already bounded by those operators' contracts —
+#: and 2M (id, id) tuples collect to tens of MB, far under any driver
+#: heap.  Below it, rounds × per-round distributed-job fixed cost (the
+#: measured owner of dedup_clusters' small-corpus wall, BENCH/SCALE.md)
+#: dwarfs the one collect; above it, the label-propagation loop's
+#: per-round hash join is the scalable path.
+CC_DRIVER_MAX_PAIRS = 2_000_000
+
+
+def _driver_union_find(rows) -> dict:
+    """Min-label union-find over collected (id_a, id_b) pairs: returns
+    {endpoint: min id of its component}.  Path-halving find; O(E α(V))."""
+    parent: dict = {}
+    def find(x):
+        r = x
+        while parent[r] != r:
+            parent[r] = parent[parent[r]]
+            r = parent[r]
+        return r
+    for a, b in rows:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+    comp_min: dict = {}
+    for v in parent:
+        r = find(v)
+        if r not in comp_min or v < comp_min[r]:
+            comp_min[r] = v
+    return {v: comp_min[find(v)] for v in parent}
+
+
 def connected_components(pairs: DataFrame, ids: DataFrame,
                          id_col: str = "doc_id",
-                         max_iters: int = 50) -> DataFrame:
+                         max_iters: int = 50,
+                         driver_max_pairs: int = CC_DRIVER_MAX_PAIRS) -> DataFrame:
     """Duplicate-cluster assignment: (id, rep_id = min id of its
     connected component) over the near-dup pair graph — the step that
     turns candidate PAIRS into dedup GROUPS (keep one representative
@@ -274,6 +311,16 @@ def connected_components(pairs: DataFrame, ids: DataFrame,
     every round's join and the fixpoint count by the corpus size for
     rows that are no-ops by construction.  Singletons rejoin once at
     the end via ``coalesce(label, own id)``.
+
+    **Small-graph fast path**: when the pair count is at most
+    ``driver_max_pairs`` the pairs are collected and union-find runs on
+    the driver (one job instead of rounds × 2 jobs) — the pair list is
+    bounded by the LSH/SimHash candidate contract, and below the
+    threshold the distributed loop's cost is pure per-round scheduling
+    fixed cost, which a real cluster is no faster at either (measured:
+    it owned dedup_clusters' 2→8-core efficiency, BENCH/SCALE.md).
+    ``driver_max_pairs=0`` forces the distributed loop.  Both paths
+    produce the identical (id, rep_id) fixpoint.
     """
     nodes = ids.select(F.col(id_col).alias("_v")).distinct()
     # Materialize the pair list ONCE before symmetrizing: the union
@@ -288,6 +335,29 @@ def connected_components(pairs: DataFrame, ids: DataFrame,
     own_p = p.storageLevel.useMemory is False and p.storageLevel.useDisk is False
     if own_p:
         p.persist()
+    # one count materializes the cache AND gates the fast path (the
+    # distributed loop needs the materialized pair cache anyway; the
+    # fixpoint rounds would re-count comparable volumes every 2 rounds)
+    n_pairs = p.count()
+    if n_pairs <= driver_max_pairs:
+        try:
+            # one collect job (size bounded by the threshold just
+            # checked); toLocalIterator would pay a job per partition
+            lbl = _driver_union_find((r[0], r[1]) for r in p.collect())
+        finally:
+            if own_p:
+                p.unpersist()
+        id_type = pairs.schema["id_a"].dataType
+        labels = pairs.sparkSession.createDataFrame(
+            list(lbl.items()),
+            T.StructType([T.StructField("_v", id_type),
+                          T.StructField("_lbl", id_type)]),
+        )
+        return (
+            nodes.join(F.broadcast(labels), "_v", "left")
+            .select(F.col("_v").alias(id_col),
+                    F.coalesce(F.col("_lbl"), F.col("_v")).alias("rep_id"))
+        )
     # both directions; propagation includes the node's own label
     e = (
         p.select(F.col("id_a").alias("_v"), F.col("id_b").alias("_w"))
@@ -347,13 +417,16 @@ def connected_components(pairs: DataFrame, ids: DataFrame,
 
 
 def dedup_clusters(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-                   n_hashes: int = 8, bands: int = 4, shingle_n: int = 3) -> DataFrame:
+                   n_hashes: int = 8, bands: int = 4, shingle_n: int = 3,
+                   driver_max_pairs: int = CC_DRIVER_MAX_PAIRS) -> DataFrame:
     """End-to-end near-dup grouping: LSH candidate pairs → connected
     components → (id, rep_id, cluster_size).  ``rep_id`` is the cluster
     representative a curation pipeline keeps; singletons are their own
-    representative."""
+    representative.  ``driver_max_pairs`` passes through to
+    :func:`connected_components` (0 forces the distributed loop)."""
     pairs = lsh_candidate_pairs(df, id_col, text_col, n_hashes, bands, shingle_n)
-    cc = connected_components(pairs, df.select(id_col), id_col)
+    cc = connected_components(pairs, df.select(id_col), id_col,
+                              driver_max_pairs=driver_max_pairs)
     # cluster_size via a window over rep_id: ONE hash exchange, no
     # driver-side materialization.  (A broadcast of the sizes table
     # would bound the operator by driver memory — the sizes table has

@@ -156,10 +156,37 @@ def topk_per_query(scored: DataFrame, k: int, query_id: str, corpus_id: str,
     )
 
 
+def pack_vectors(df: DataFrame, vec_col: str = "embedding",
+                 out_col: str | None = None,
+                 dtype: str = "float32") -> DataFrame:
+    """Replace an ``array<float/double>`` column with its fixed-width
+    little-endian packed ``binary`` twin.
+
+    At scale the embedding column is the transfer bottleneck of every
+    scoring kernel: Arrow serialization of ``list<double>`` rows writes
+    one offset + n element slots per row JVM-side (measured as the
+    non-scaling term of ann_topk, BENCH/SCALE.md r4), while a packed
+    binary row is a single buffer memcpy.  Pack ONCE at ingest/cache
+    time; :func:`cosine_topk` detects the binary column and unpacks with
+    ``np.frombuffer`` — float32 packing of a float32 source is lossless,
+    so scores are bit-identical to the list path.
+    """
+    out_col = out_col or vec_col
+    np_dtype = np.dtype(dtype).newbyteorder("<")
+
+    @F.pandas_udf(T.BinaryType())
+    def pack(v: pd.Series) -> pd.Series:
+        return pd.Series(
+            [np.asarray(a, dtype=np_dtype).tobytes() for a in v], dtype=object
+        )
+
+    return df.withColumn(out_col, pack(F.col(vec_col)))
+
+
 def cosine_topk(corpus_df: DataFrame, queries_df: DataFrame, k: int = 3,
                 corpus_id: str = "vec_id", corpus_vec: str = "embedding",
                 query_id: str = "q_id", query_vec: str = "q_vec",
-                method: str = "arrow") -> DataFrame:
+                method: str = "arrow", vec_dtype: str = "float32") -> DataFrame:
     """Exact brute-force top-k: (q_id, rank, vec_id, sim).
 
     The query side is tiny by construction (it rides inside the scoring
@@ -173,7 +200,12 @@ def cosine_topk(corpus_df: DataFrame, queries_df: DataFrame, k: int = 3,
     operation order as the JVM fold / the SQL oracle's ``list_reduce``
     (acc = ((0 + x₀y₀) + x₁y₁) + …, norms as sequential squared sums,
     then one multiply and one divide), so results are bit-exact across
-    all three engines — and cut to the per-query running top-k
+    all three engines.  A ``binary`` corpus column (packed vectors, see
+    :func:`pack_vectors`) is detected automatically and unpacked with
+    ``np.frombuffer`` (``vec_dtype`` names the packed element type);
+    float32 packing of a float32 source is lossless, so the packed path
+    is bit-identical to the list path too.  Scores are cut to the
+    per-query running top-k
     (partition + tie-resolving lexsort on the ≥kth slice, O(n) per
     batch).  Rationale (BENCH/SCALE.md r4 decomposition): the
     ``method="jvm"`` shape's ``aggregate``/``zip_with`` fold is
@@ -234,6 +266,13 @@ def cosine_topk(corpus_df: DataFrame, queries_df: DataFrame, k: int = 3,
         T.StructField("sim", T.DoubleType()),
     ])
 
+    # packed-binary corpus (see pack_vectors): the Arrow transfer ships
+    # one buffer memcpy per row instead of per-element list writes — the
+    # measured non-scaling term of the list path (BENCH/SCALE.md) —
+    # and the kernel unpacks with a single frombuffer per batch.
+    is_packed = isinstance(corpus_df.schema[corpus_vec].dataType, T.BinaryType)
+    np_dtype = np.dtype(vec_dtype).newbyteorder("<")
+
     def score_prune(batches):
         best_c = [None] * nq
         best_s = [None] * nq
@@ -241,7 +280,12 @@ def cosine_topk(corpus_df: DataFrame, queries_df: DataFrame, k: int = 3,
             if not len(pdf):
                 continue
             cids = pdf[corpus_id].to_numpy()
-            mat = np.stack(pdf[corpus_vec].to_numpy()).astype(np.float64)
+            raw = pdf[corpus_vec].to_numpy()
+            if is_packed:
+                mat = (np.frombuffer(b"".join(raw), dtype=np_dtype)
+                       .reshape(len(raw), dim).astype(np.float64))
+            else:
+                mat = np.stack(raw).astype(np.float64)
             n = len(cids)
             dots = np.zeros((n, nq))
             cacc = np.zeros(n)

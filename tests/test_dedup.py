@@ -93,28 +93,44 @@ def test_simhash_near_pairs_rejects_zero_width_blocks(spark):
         dedup.simhash_near_pairs(df, bits=4, max_hamming=4)
 
 
-def test_connected_components_chain_and_singleton(spark):
+@pytest.mark.parametrize("driver_max_pairs", [0, dedup.CC_DRIVER_MAX_PAIRS])
+def test_connected_components_chain_and_singleton(spark, driver_max_pairs):
     """Chain 1-2-3 (diameter 2), pair {10,11}, singleton 20 — labels must
-    reach the per-component min, including across multi-hop chains."""
+    reach the per-component min, including across multi-hop chains.
+    Parametrized over BOTH paths (0 forces the distributed loop; the
+    default takes the driver union-find fast path at this size)."""
     pairs = spark.createDataFrame(
         pd.DataFrame({"id_a": [2, 1, 10], "id_b": [3, 2, 11]})
     )
     ids = spark.createDataFrame(
         pd.DataFrame({"doc_id": [1, 2, 3, 10, 11, 20]})
     )
-    got = dedup.connected_components(pairs, ids).toPandas().set_index("doc_id")["rep_id"]
+    got = (dedup.connected_components(pairs, ids,
+                                      driver_max_pairs=driver_max_pairs)
+           .toPandas().set_index("doc_id")["rep_id"])
     assert got.to_dict() == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20}
 
 
 def test_connected_components_long_chain(spark):
-    """A 12-node chain exercises multiple propagation rounds."""
+    """A 12-node chain exercises multiple propagation rounds of the
+    DISTRIBUTED path (driver_max_pairs=0 forces it)."""
     n = 12
     pairs = spark.createDataFrame(
         pd.DataFrame({"id_a": list(range(n - 1)), "id_b": list(range(1, n))})
     )
     ids = spark.createDataFrame(pd.DataFrame({"doc_id": list(range(n))}))
-    got = dedup.connected_components(pairs, ids).toPandas()
+    got = dedup.connected_components(pairs, ids, driver_max_pairs=0).toPandas()
     assert (got["rep_id"] == 0).all()
+
+
+def test_connected_components_driver_path_string_ids(spark):
+    """The union-find fast path must handle non-numeric ids (min = lexical)."""
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": ["b", "a"], "id_b": ["c", "b"]})
+    )
+    ids = spark.createDataFrame(pd.DataFrame({"doc_id": ["a", "b", "c", "z"]}))
+    got = dedup.connected_components(pairs, ids).toPandas().set_index("doc_id")["rep_id"]
+    assert got.to_dict() == {"a": "a", "b": "a", "c": "a", "z": "z"}
 
 
 def test_dedup_clusters_groups_exact_dups(spark, docs):
@@ -157,5 +173,5 @@ def test_connected_components_unpersists_on_nonconvergence(spark, monkeypatch):
     )
     ids = spark.createDataFrame(pd.DataFrame({"doc_id": list(range(n))}))
     with pytest.raises(RuntimeError, match="did not converge"):
-        dedup.connected_components(pairs, ids, max_iters=2)
+        dedup.connected_components(pairs, ids, max_iters=2, driver_max_pairs=0)
     assert balance and all(v == 0 for v in balance.values())

@@ -153,6 +153,25 @@ def test_exact_nn_plan_has_no_cartesian_product(spark, corpus):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_cosine_topk_packed_binary_is_bit_identical(spark, corpus, corpus_pdf):
+    """A pack_vectors'd corpus (fixed-width binary column) must produce
+    bit-identical results to the array<float> path — float32 packing of
+    a float32 source is lossless and the kernel's op order is shared."""
+    queries = spark.createDataFrame(
+        pd.DataFrame({"q_id": [0, 1], "q_vec": [corpus_pdf["embedding"][5],
+                                                corpus_pdf["embedding"][17]]}),
+        schema="q_id long, q_vec array<float>",
+    )
+    packed = sim.pack_vectors(corpus, "embedding")
+    assert dict(packed.dtypes)["embedding"] == "binary"
+    got = sim.cosine_topk(packed, queries, k=5).toPandas()
+    want = sim.cosine_topk(corpus, queries, k=5).toPandas()
+    key = ["q_id", "rank"]
+    got = got.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)  # sims bit-equal, not approx
+
+
 def test_cosine_topk_empty_queries(spark, corpus):
     """An empty query set returns an empty result with the output schema
     (round-4 ADVICE: np.stack([]) used to raise on the driver)."""
