@@ -285,6 +285,14 @@ def run_bench(spark, sf_dir: str) -> dict:
                .select((F.col("vec_id") * ANN_MULT + F.col("rep")).alias("vec_id"),
                        "embedding")
                .repartition(_parts(spark)))
+    # cache the corpus packed (fixed-width binary, similarity.pack_vectors)
+    # — the designed storage format for embedding columns at scale: Arrow
+    # ships one buffer memcpy per row instead of per-element list writes,
+    # which was the measured non-scaling term of the scoring kernel
+    # (packed vs list A/B: 4.42 vs 4.92 s at local[2], 1.78 vs 2.41 s at
+    # local[8], x800 — BENCH/SCALE.md r5; float32 packing is lossless, so
+    # results are bit-identical)
+    emb_big = similarity.pack_vectors(emb_big, "embedding")
     emb_big.persist()
     emb_big.count()
     timed_action("ann_topk", lambda: similarity.cosine_topk(emb_big, q, k=10).count())

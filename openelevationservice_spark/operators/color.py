@@ -13,9 +13,11 @@ pixel list explodes driver memory (SURVEY.md §3.3) — here the whole
 pipeline stays distributed: pixel rows → two-pass agg (G1) → JVM
 bucket columns (G2) → hash-repartition by **(poly_id, height_base)**
 (bands dissolve independently, exactly as the reference unions per
-band — so the largest polygon's bands spread across tasks) → sorted
-partitions streamed group-by-group through the exact grid dissolve
-kernel (G3).  Only the final FeatureCollection is collected.
+band — so the largest polygon's bands spread across tasks) → one
+packed ``array<long>`` cell row per band (co-partitioned
+``collect_list``, see :func:`_banded_cells`) → exact grid dissolve
+kernel (G3) over each band row.  Only the final FeatureCollection is
+collected.
 """
 
 from __future__ import annotations
@@ -70,12 +72,9 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
-def _dissolve_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    poly_id = int(pdf["poly_id"].iloc[0])
-    hb = int(pdf["height_base"].iloc[0])
-    polys, ring_areas = dissolve_pixels_rings(
-        pdf["gx"].to_numpy(np.int64), pdf["gy"].to_numpy(np.int64)
-    )
+def _dissolve_group(poly_id: int, hb: int, gx: np.ndarray,
+                    gy: np.ndarray) -> list[dict]:
+    polys, ring_areas = dissolve_pixels_rings(gx, gy)
     rows = []
     for i, (rings, ra) in enumerate(zip(polys, ring_areas)):
         deg_rings = [
@@ -91,7 +90,7 @@ def _dissolve_group(pdf: pd.DataFrame) -> pd.DataFrame:
             "area_px": float(area),
             "rings": deg_rings,
         })
-    return pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA.fields])
+    return rows
 
 
 def _dissolve_partitions(df: DataFrame) -> int:
@@ -99,60 +98,63 @@ def _dissolve_partitions(df: DataFrame) -> int:
     return df.sparkSession.sparkContext.defaultParallelism * 4
 
 
-def _iter_sorted_groups(batches):
-    """Stream (poly_id, height_base) groups out of a partition whose rows
-    are SORTED by that key (``sortWithinPartitions`` upstream).
+#: gx/gy pack base for the band-cell transfer (gxy = gx * 2^32 + gy);
+#: a global pixel grid at SRTM-like resolution is ~10^6 cells per axis,
+#: far inside the 32-bit halves.
+_GXY = 1 << 32
 
-    One python invocation per PARTITION, not per group —
-    ``groupBy().applyInPandas`` pays a shuffle + Arrow round-trip +
-    python call per band group, and band groups are tiny (tens of
-    pixels), so that overhead dominated the operator (measured 13 s
-    distributed vs 4 s single-threaded pandas at sf0.01).  But unlike
-    the round-2 shape (``pd.concat`` of the WHOLE partition before a
-    pandas groupby), sorted streaming holds only the CURRENT group plus
-    one Arrow batch in memory: group boundaries are found vectorized per
-    batch, complete groups are yielded immediately, and only the
-    trailing run (a group that may continue into the next batch) is
-    carried over.  Peak memory ∝ largest single band, NOT largest
-    partition (VERDICT r2 "What's wrong" #2 — the skew/OOM cliff where
-    one continental polygon's entire pixel set sat in one worker).
+
+def _banded_cells(pixels: DataFrame, num_ranges: int) -> DataFrame:
+    """One row per (poly_id, height_base): the band's cells as ONE packed
+    ``array<long>`` column.
+
+    This is the operator's Arrow-boundary diet (round-5 decomposition,
+    BENCH/SCALE.md): shipping the 9.9M banded pixel rows into the python
+    kernel as 4 scalar columns was +2.75 s at local[32] — ~35 % of the
+    query — while the kernel's own compute is noise (~0.3 s).  Packing
+    (gx, gy) into one long and gathering each band with a co-partitioned
+    ``collect_list`` cuts per-value Arrow writes 4× and row overhead
+    ~430× (one row per band), and replaces the sortWithinPartitions +
+    python-side group streaming entirely; the agg adds no JVM cost (the
+    `agg_jvm` variant times identical to the former sort shape).
+
+    The explicit ``repartition`` count is load-bearing (AQE straggler
+    tail otherwise — see the partition-count plan test); ``groupBy`` on
+    the same keys reuses that exchange, so the agg is partial-free but
+    exchange-free too.  Peak task memory is one band's cell array —
+    the same bound as the python kernel's dense-grid materialization,
+    which has always been the operator's per-band bound (the reference
+    dissolves a bbox request's bands driver-side; continental single
+    bands need a tiled dissolve in ANY shape).
     """
-    pending: list[pd.DataFrame] = []
-    cur_key = None
+    stats = polygon_stats(pixels)
+    banded = with_height_base(pixels, stats, num_ranges)
+    gxy = (F.col("gx").cast("long") * F.lit(_GXY) + F.col("gy")).alias("gxy")
+    return (
+        banded.select("poly_id", "height_base", gxy)
+        .repartition(_dissolve_partitions(banded), "poly_id", "height_base")
+        .groupBy("poly_id", "height_base")
+        .agg(F.collect_list("gxy").alias("cells"))
+    )
+
+
+def _iter_cell_groups(batches):
+    """(poly_id, height_base, gx, gy) per band row.  collect_list order
+    is nondeterministic, but every kernel consumer rasterizes the cells
+    into an occupancy grid first — order-invariant by construction."""
     for pdf in batches:
-        if not len(pdf):
-            continue
-        pid = pdf["poly_id"].to_numpy()
-        hb = pdf["height_base"].to_numpy()
-        change = np.flatnonzero((pid[1:] != pid[:-1]) | (hb[1:] != hb[:-1])) + 1
-        bounds = np.concatenate(([0], change, [len(pdf)]))
-        for s, e in zip(bounds[:-1], bounds[1:]):
-            key = (pid[s], hb[s])
-            if cur_key is not None and key != cur_key:
-                yield pending[0] if len(pending) == 1 else pd.concat(pending, ignore_index=True)
-                pending = []
-            cur_key = key
-            pending.append(pdf.iloc[s:e])
-    if pending:
-        yield pending[0] if len(pending) == 1 else pd.concat(pending, ignore_index=True)
-
-
-# groups per emitted Arrow batch: large enough to amortize the Arrow
-# boundary, small enough to keep output buffering negligible
-_GROUPS_PER_BATCH = 512
+        for pid, hb, cells in zip(pdf["poly_id"].to_numpy(),
+                                  pdf["height_base"].to_numpy(),
+                                  pdf["cells"].to_numpy()):
+            arr = np.asarray(cells, dtype=np.int64)
+            yield int(pid), int(hb), arr >> 32, arr & (_GXY - 1)
 
 
 def _dissolve_partition(batches):
-    outs, emitted = [], False
-    for g in _iter_sorted_groups(batches):
-        outs.append(_dissolve_group(g))
-        if len(outs) >= _GROUPS_PER_BATCH:
-            yield pd.concat(outs, ignore_index=True)
-            outs, emitted = [], True
-    if outs:
-        yield pd.concat(outs, ignore_index=True)
-    elif not emitted:
-        yield pd.DataFrame(columns=[f.name for f in FEATURE_SCHEMA.fields])
+    rows = []
+    for pid, hb, gx, gy in _iter_cell_groups(batches):
+        rows.extend(_dissolve_group(pid, hb, gx, gy))
+    yield pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA.fields])
 
 
 def polygon_color_features(polygons_df: DataFrame, images_df: DataFrame,
@@ -176,19 +178,8 @@ def polygon_color_features(polygons_df: DataFrame, images_df: DataFrame,
         pixels = polygon_pixels(polygons_df, images_df,
                                 index_strategy=index_strategy, spread=spread)
         lease("color_features", pixels)
-    stats = polygon_stats(pixels)
-    banded = with_height_base(pixels, stats, num_ranges)
-    return (
-        banded.select("poly_id", "height_base", "gx", "gy")
-        # explicit partition count: AQE's byte-based coalescing merges
-        # these small-by-bytes partitions down to a handful of tasks,
-        # but the python dissolve kernel's cost per byte is orders of
-        # magnitude above a normal shuffle read, so coalescing creates
-        # a straggler tail (measured 15%+ at local[32], worse under
-        # ambient load).  4x slots keeps the kernel stage amortizable.
-        .repartition(_dissolve_partitions(banded), "poly_id", "height_base")
-        .sortWithinPartitions("poly_id", "height_base")
-        .mapInPandas(_dissolve_partition, schema=FEATURE_SCHEMA)
+    return _banded_cells(pixels, num_ranges).mapInPandas(
+        _dissolve_partition, schema=FEATURE_SCHEMA
     )
 
 
@@ -203,7 +194,8 @@ INVARIANT_SCHEMA = T.StructType(
 )
 
 
-def _invariants_group(pdf: pd.DataFrame) -> dict:
+def _invariants_group(poly_id: int, hb: int, gx: np.ndarray,
+                      gy: np.ndarray) -> dict:
     """Dissolve one (poly_id, height_base) band and reduce it to three
     SQL-checkable invariants:
 
@@ -221,8 +213,6 @@ def _invariants_group(pdf: pd.DataFrame) -> dict:
     the property tests: running it per band was the kernel's dominant
     cost (Python union loops over the mostly-background bbox).
     """
-    gx = pdf["gx"].to_numpy(np.int64)
-    gy = pdf["gy"].to_numpy(np.int64)
     polys, ring_areas = dissolve_pixels_rings(gx, gy)
     n_shells = len(polys)
     n_holes = sum(len(rings) - 1 for rings in polys)
@@ -236,8 +226,8 @@ def _invariants_group(pdf: pd.DataFrame) -> dict:
             f"euler4={euler4} euler8={euler8} area2={area2}"
         )
     return {
-        "poly_id": int(pdf["poly_id"].iloc[0]),
-        "height_base": int(pdf["height_base"].iloc[0]),
+        "poly_id": poly_id,
+        "height_base": hb,
         "area_px": area2 // 2,
         "euler4": euler4,
         "euler8": euler8,
@@ -245,14 +235,9 @@ def _invariants_group(pdf: pd.DataFrame) -> dict:
 
 
 def _invariants_partition(batches):
-    rows, emitted = [], False
-    for g in _iter_sorted_groups(batches):
-        rows.append(_invariants_group(g))
-        if len(rows) >= _GROUPS_PER_BATCH:
-            yield pd.DataFrame(rows, columns=[f.name for f in INVARIANT_SCHEMA.fields])
-            rows, emitted = [], True
-    if rows or not emitted:
-        yield pd.DataFrame(rows, columns=[f.name for f in INVARIANT_SCHEMA.fields])
+    rows = [_invariants_group(pid, hb, gx, gy)
+            for pid, hb, gx, gy in _iter_cell_groups(batches)]
+    yield pd.DataFrame(rows, columns=[f.name for f in INVARIANT_SCHEMA.fields])
 
 
 def polygon_color_invariants(polygons_df: DataFrame, images_df: DataFrame,
@@ -265,19 +250,8 @@ def polygon_color_invariants(polygons_df: DataFrame, images_df: DataFrame,
     pixels = polygon_pixels(polygons_df, images_df,
                             index_strategy=index_strategy, spread=spread)
     lease("color_invariants", pixels)
-    stats = polygon_stats(pixels)
-    banded = with_height_base(pixels, stats, num_ranges)
-    return (
-        banded.select("poly_id", "height_base", "gx", "gy")
-        # explicit partition count: AQE's byte-based coalescing merges
-        # these small-by-bytes partitions down to a handful of tasks,
-        # but the python dissolve kernel's cost per byte is orders of
-        # magnitude above a normal shuffle read, so coalescing creates
-        # a straggler tail (measured 15%+ at local[32], worse under
-        # ambient load).  4x slots keeps the kernel stage amortizable.
-        .repartition(_dissolve_partitions(banded), "poly_id", "height_base")
-        .sortWithinPartitions("poly_id", "height_base")
-        .mapInPandas(_invariants_partition, schema=INVARIANT_SCHEMA)
+    return _banded_cells(pixels, num_ranges).mapInPandas(
+        _invariants_partition, schema=INVARIANT_SCHEMA
     )
 
 
