@@ -281,10 +281,71 @@ def _driver_union_find(rows) -> dict:
     return {v: comp_min[find(v)] for v in parent}
 
 
+def _cc_alternating_labels(p: DataFrame, max_iters: int):
+    """Alternating large-star/small-star CC (Kiveris et al., "Connected
+    Components in MapReduce and Beyond") over the distinct pair list.
+
+    Converges in O(log d) rounds on adversarial long-chain graphs where
+    min-label propagation needs O(d) — the robustness path for graphs
+    whose components are NOT near-cliques.  Each round costs two
+    groupBy exchanges (vs one for label propagation), so the default
+    stays label propagation: near-dup clusters have diameter 2-3 and
+    pay fewer shuffles there.
+
+    large-star: every node's bigger neighbors re-attach to the minimum
+    of its neighborhood (including itself); small-star: every node and
+    its smaller neighbors attach to the smallest of them.  At the
+    fixpoint the edge set is a star per component rooted at the
+    component minimum.  Returns (labels(_v, _lbl), rounds) — labels
+    cover edge endpoints only, roots included.
+    """
+    e = (p.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+         .filter(F.col("u") != F.col("v")).distinct().localCheckpoint())
+    rounds = 0
+    for it in range(max_iters):
+        rounds = it + 1
+        # large-star
+        sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (sym.groupBy("u").agg(F.min("v").alias("_mn"))
+                .select("u", F.least("u", "_mn").alias("m")))
+        large = (sym.join(mins, "u")
+                 .filter(F.col("v") > F.col("u"))
+                 .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                 .filter(F.col("u") != F.col("v")).distinct())
+        # small-star over edges oriented (big u, small v)
+        nbr = large.select(F.greatest("u", "v").alias("u"),
+                           F.least("u", "v").alias("v"))
+        mins2 = nbr.groupBy("u").agg(F.min("v").alias("m"))
+        new_e = (
+            nbr.join(mins2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .unionByName(mins2.select(F.col("u"), F.col("m").alias("v")))
+            .distinct().localCheckpoint()
+        )
+        # exact fixpoint: both sides are distinct sets with all (u, v)
+        # oriented u > v, so set equality = equal counts + empty except
+        if (new_e.count() == e.count()
+                and new_e.exceptAll(e).limit(1).count() == 0):
+            e = new_e
+            return (
+                e.select(F.col("u").alias("_v"), F.col("v").alias("_lbl"))
+                .unionByName(e.select(F.col("v").alias("_v"),
+                                      F.col("v").alias("_lbl")))
+                .distinct(),
+                rounds,
+            )
+        e = new_e
+    raise RuntimeError(
+        f"alternating connected_components did not converge in {max_iters} rounds"
+    )
+
+
 def connected_components(pairs: DataFrame, ids: DataFrame,
                          id_col: str = "doc_id",
                          max_iters: int = 50,
-                         driver_max_pairs: int = CC_DRIVER_MAX_PAIRS) -> DataFrame:
+                         driver_max_pairs: int = CC_DRIVER_MAX_PAIRS,
+                         algorithm: str = "label") -> DataFrame:
     """Duplicate-cluster assignment: (id, rep_id = min id of its
     connected component) over the near-dup pair graph — the step that
     turns candidate PAIRS into dedup GROUPS (keep one representative
@@ -298,8 +359,11 @@ def connected_components(pairs: DataFrame, ids: DataFrame,
     without it the self-referential plan grows exponentially — and
     convergence is an exact fixpoint test (count of changed labels,
     driver-side loop like GraphX/GraphFrames CC).  For adversarial
-    long-chain graphs the large-star/small-star variant converges in
-    O(log d) rounds; near-dup clustering does not need it.
+    long-chain graphs pass ``algorithm="alternating"`` — the
+    large-star/small-star variant (:func:`_cc_alternating_labels`)
+    converges in O(log d) rounds at two exchanges per round; near-dup
+    clustering defaults to label propagation (diameter 2-3, one
+    exchange per round).
 
     The fixpoint is the per-component min id — method-independent, which
     is what lets a recursive-CTE SQL oracle verify it exactly.
@@ -358,6 +422,19 @@ def connected_components(pairs: DataFrame, ids: DataFrame,
             .select(F.col("_v").alias(id_col),
                     F.coalesce(F.col("_lbl"), F.col("_v")).alias("rep_id"))
         )
+    if algorithm == "alternating":
+        try:
+            labels, _rounds = _cc_alternating_labels(p, max_iters)
+        finally:
+            if own_p:
+                p.unpersist()
+        return (
+            nodes.join(labels, "_v", "left")
+            .select(F.col("_v").alias(id_col),
+                    F.coalesce(F.col("_lbl"), F.col("_v")).alias("rep_id"))
+        )
+    if algorithm != "label":
+        raise ValueError(f"unknown connected_components algorithm {algorithm!r}")
     # both directions; propagation includes the node's own label
     e = (
         p.select(F.col("id_a").alias("_v"), F.col("id_b").alias("_w"))

@@ -123,6 +123,43 @@ def test_connected_components_long_chain(spark):
     assert (got["rep_id"] == 0).all()
 
 
+def test_connected_components_alternating_chain(spark):
+    """algorithm='alternating' (large-star/small-star) must label a
+    64-node chain correctly in O(log d) rounds — the robustness path for
+    graphs that are NOT near-cliques (min-label propagation needs d
+    rounds; the default path is unchanged)."""
+    n = 64
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": list(range(n - 1)), "id_b": list(range(1, n))})
+    )
+    ids = spark.createDataFrame(pd.DataFrame({"doc_id": list(range(n))}))
+    got = dedup.connected_components(
+        pairs, ids, driver_max_pairs=0, algorithm="alternating", max_iters=12
+    ).toPandas()
+    assert (got["rep_id"] == 0).all() and len(got) == n
+    # rounds directly: far under the diameter (63), O(log d) with slack
+    _, rounds = dedup._cc_alternating_labels(pairs.select("id_a", "id_b"), 20)
+    assert rounds <= 10
+
+
+def test_connected_components_alternating_matches_label(spark):
+    """Both distributed algorithms produce the identical fixpoint on a
+    mixed graph (chain + clique + singleton)."""
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": [2, 1, 10, 10, 11, 30],
+                      "id_b": [3, 2, 11, 12, 12, 31]})
+    )
+    ids = spark.createDataFrame(pd.DataFrame({"doc_id": list(range(1, 4))
+                                              + [10, 11, 12, 20, 30, 31]}))
+    a = (dedup.connected_components(pairs, ids, driver_max_pairs=0,
+                                    algorithm="alternating")
+         .toPandas().set_index("doc_id")["rep_id"].to_dict())
+    b = (dedup.connected_components(pairs, ids, driver_max_pairs=0)
+         .toPandas().set_index("doc_id")["rep_id"].to_dict())
+    assert a == b
+    assert a[20] == 20 and a[3] == 1 and a[12] == 10 and a[31] == 30
+
+
 def test_connected_components_driver_path_string_ids(spark):
     """The union-find fast path must handle non-numeric ids (min = lexical)."""
     pairs = spark.createDataFrame(
