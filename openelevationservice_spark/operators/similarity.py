@@ -29,6 +29,7 @@ import os
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -183,10 +184,41 @@ def pack_vectors(df: DataFrame, vec_col: str = "embedding",
     return df.withColumn(out_col, pack(F.col(vec_col)))
 
 
+def _unpack_binary(arr: "pa.Array", dim: int, np_dtype: np.dtype) -> np.ndarray:
+    """View a fixed-width packed ``binary`` Arrow column as an (n, dim)
+    matrix straight off the Arrow buffers — ZERO per-row python objects.
+
+    The ``mapInPandas`` conversion of a binary column materializes one
+    python ``bytes`` object per row (n allocations + a second copy in
+    the kernel's ``b"".join``); this reads the offsets buffer once and
+    reinterprets the shared data buffer in place."""
+    n = len(arr)
+    w = dim * np_dtype.itemsize
+    off_dtype = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+    off = np.frombuffer(arr.buffers()[1], dtype=off_dtype)[arr.offset:arr.offset + n + 1]
+    if off[-1] - off[0] != n * w:
+        raise ValueError(
+            f"packed vector column is not fixed-width ({dim} x {np_dtype})")
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    return data[off[0]:off[-1]].view(np_dtype).reshape(n, dim)
+
+
+def _unpack_list(arr: "pa.Array", dim: int) -> np.ndarray:
+    """Flatten a fixed-length ``list<float>`` Arrow column to an
+    (n, dim) matrix — one contiguous child-buffer view (``flatten`` is
+    a slice of the child array when offsets are contiguous), instead of
+    the ``mapInPandas`` route of one numpy object per row + ``np.stack``."""
+    flat = arr.flatten().to_numpy(zero_copy_only=False)
+    if flat.size != len(arr) * dim:
+        raise ValueError("embedding lists are not fixed-length")
+    return flat.reshape(len(arr), dim)
+
+
 def cosine_topk(corpus_df: DataFrame, queries_df: DataFrame, k: int = 3,
                 corpus_id: str = "vec_id", corpus_vec: str = "embedding",
                 query_id: str = "q_id", query_vec: str = "q_vec",
-                method: str = "arrow", vec_dtype: str = "float32") -> DataFrame:
+                method: str = "arrow", vec_dtype: str = "float32",
+                arrow_impl: str = "batch") -> DataFrame:
     """Exact brute-force top-k: (q_id, rank, vec_id, sim).
 
     The query side is tiny by construction (it rides inside the scoring
@@ -194,7 +226,11 @@ def cosine_topk(corpus_df: DataFrame, queries_df: DataFrame, k: int = 3,
     final per-query window ranks only ≤ P·k survivors.
 
     ``method="arrow"`` (default, the scale path) fuses scoring and the
-    per-partition top-k prune into ONE ``mapInPandas`` kernel: each
+    per-partition top-k prune into ONE python kernel (``arrow_impl=
+    "batch"``, the default, runs it over raw ``mapInArrow`` record
+    batches — the corpus matrix is a buffer view, no per-row python
+    objects; ``arrow_impl="pandas"`` is the ``mapInPandas`` twin kept
+    for A/B — both share the same scoring/prune code paths): each
     Arrow batch of corpus vectors is scored against every query with a
     *sequential-in-dimension* accumulation loop — the identical IEEE
     operation order as the JVM fold / the SQL oracle's ``list_reduce``
@@ -273,6 +309,40 @@ def cosine_topk(corpus_df: DataFrame, queries_df: DataFrame, k: int = 3,
     is_packed = isinstance(corpus_df.schema[corpus_vec].dataType, T.BinaryType)
     np_dtype = np.dtype(vec_dtype).newbyteorder("<")
 
+    def _score(mat):
+        # sequential-in-dimension fold: identical IEEE order across the
+        # pandas and arrow-batch kernels, the JVM fold and the SQL oracle
+        n = mat.shape[0]
+        dots = np.zeros((n, nq))
+        cacc = np.zeros(n)
+        for i in range(dim):
+            col = mat[:, i]
+            dots += col[:, None] * qmat[:, i]
+            cacc += col * col
+        return dots / (np.sqrt(cacc)[:, None] * qn)
+
+    def _update(best_c, best_s, cids, sims):
+        for j in range(nq):
+            s = sims[:, j] if best_s[j] is None else np.concatenate([best_s[j], sims[:, j]])
+            c = cids if best_c[j] is None else np.concatenate([best_c[j], cids])
+            if len(s) > k:
+                kth = np.partition(s, len(s) - k)[len(s) - k]
+                cand = np.flatnonzero(s >= kth)      # > kth plus ALL kth ties
+                order = np.lexsort((c[cand], -s[cand]))
+                keep = cand[order[:k]]
+            else:
+                keep = np.arange(len(s))
+            best_s[j] = s[keep]
+            best_c[j] = c[keep]
+
+    def _finish(best_c, best_s):
+        counts = [len(s) for s in best_s]
+        return pd.DataFrame({
+            query_id: np.repeat(qids, counts),
+            corpus_id: np.concatenate(best_c),
+            "sim": np.concatenate(best_s),
+        })
+
     def score_prune(batches):
         best_c = [None] * nq
         best_s = [None] * nq
@@ -286,36 +356,38 @@ def cosine_topk(corpus_df: DataFrame, queries_df: DataFrame, k: int = 3,
                        .reshape(len(raw), dim).astype(np.float64))
             else:
                 mat = np.stack(raw).astype(np.float64)
-            n = len(cids)
-            dots = np.zeros((n, nq))
-            cacc = np.zeros(n)
-            for i in range(dim):
-                col = mat[:, i]
-                dots += col[:, None] * qmat[:, i]
-                cacc += col * col
-            sims = dots / (np.sqrt(cacc)[:, None] * qn)
-            for j in range(nq):
-                s = sims[:, j] if best_s[j] is None else np.concatenate([best_s[j], sims[:, j]])
-                c = cids if best_c[j] is None else np.concatenate([best_c[j], cids])
-                if len(s) > k:
-                    kth = np.partition(s, len(s) - k)[len(s) - k]
-                    cand = np.flatnonzero(s >= kth)      # > kth plus ALL kth ties
-                    order = np.lexsort((c[cand], -s[cand]))
-                    keep = cand[order[:k]]
-                else:
-                    keep = np.arange(len(s))
-                best_s[j] = s[keep]
-                best_c[j] = c[keep]
+            _update(best_c, best_s, cids, _score(mat))
         if best_s[0] is None:
             return
-        counts = [len(s) for s in best_s]
-        yield pd.DataFrame({
-            query_id: np.repeat(qids, counts),
-            corpus_id: np.concatenate(best_c),
-            "sim": np.concatenate(best_s),
-        })
+        yield _finish(best_c, best_s)
 
-    pruned = corpus_df.select(corpus_id, corpus_vec).mapInPandas(score_prune, schema)
+    def score_prune_arrow(batches):
+        # mapInArrow twin: the corpus matrix is a view of the Arrow
+        # buffers (no per-row bytes/ndarray objects, no join copy) —
+        # the transfer-side python cost the pandas kernel still paid.
+        best_c = [None] * nq
+        best_s = [None] * nq
+        for rb in batches:
+            if not rb.num_rows:
+                continue
+            cids = rb.column(rb.schema.get_field_index(corpus_id)) \
+                     .to_numpy(zero_copy_only=False)
+            varr = rb.column(rb.schema.get_field_index(corpus_vec))
+            mat = (_unpack_binary(varr, dim, np_dtype) if is_packed
+                   else _unpack_list(varr, dim)).astype(np.float64)
+            _update(best_c, best_s, cids, _score(mat))
+        if best_s[0] is None:
+            return
+        yield pa.RecordBatch.from_pandas(_finish(best_c, best_s),
+                                         preserve_index=False)
+
+    sel = corpus_df.select(corpus_id, corpus_vec)
+    if arrow_impl == "batch":
+        pruned = sel.mapInArrow(score_prune_arrow, schema)
+    elif arrow_impl == "pandas":
+        pruned = sel.mapInPandas(score_prune, schema)
+    else:
+        raise ValueError(f"unknown cosine_topk arrow_impl {arrow_impl!r}")
     w2 = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.col(corpus_id))
     return (
         pruned.withColumn("rank", F.row_number().over(w2))

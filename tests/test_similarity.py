@@ -172,6 +172,46 @@ def test_cosine_topk_packed_binary_is_bit_identical(spark, corpus, corpus_pdf):
     pd.testing.assert_frame_equal(got, want)  # sims bit-equal, not approx
 
 
+def test_cosine_topk_arrow_batch_matches_pandas_kernel(spark, corpus, corpus_pdf):
+    """The mapInArrow kernel (buffer-view unpack, default) must be
+    bit-identical to the mapInPandas twin on BOTH corpus formats —
+    same sequential-fold op order, only the transfer differs."""
+    queries = spark.createDataFrame(
+        pd.DataFrame({"q_id": [0, 1], "q_vec": [corpus_pdf["embedding"][5],
+                                                corpus_pdf["embedding"][17]]}),
+        schema="q_id long, q_vec array<float>",
+    )
+    key = ["q_id", "rank"]
+    for fmt in (corpus, sim.pack_vectors(corpus, "embedding")):
+        got = (sim.cosine_topk(fmt, queries, k=5, arrow_impl="batch")
+               .toPandas().sort_values(key).reset_index(drop=True))
+        want = (sim.cosine_topk(fmt, queries, k=5, arrow_impl="pandas")
+                .toPandas().sort_values(key).reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want)  # sims bit-equal
+    with pytest.raises(ValueError, match="arrow_impl"):
+        sim.cosine_topk(corpus, queries, k=5, arrow_impl="nope")
+
+
+def test_cosine_topk_arrow_batch_string_ids(spark, corpus_pdf):
+    """String corpus/query ids flow through the arrow-batch kernel
+    (object-dtype to_numpy + lexsort tie-break) identically to the
+    pandas kernel."""
+    pdf = corpus_pdf.assign(vec_id=[f"doc{i:04d}" for i in range(len(corpus_pdf))])
+    corpus_s = spark.createDataFrame(pdf, schema="vec_id string, embedding array<float>")
+    queries = spark.createDataFrame(
+        pd.DataFrame({"q_id": ["qa", "qb"], "q_vec": [pdf["embedding"][5],
+                                                      pdf["embedding"][17]]}),
+        schema="q_id string, q_vec array<float>",
+    )
+    key = ["q_id", "rank"]
+    got = (sim.cosine_topk(corpus_s, queries, k=5, arrow_impl="batch")
+           .toPandas().sort_values(key).reset_index(drop=True))
+    want = (sim.cosine_topk(corpus_s, queries, k=5, arrow_impl="pandas")
+            .toPandas().sort_values(key).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want)
+    assert got.loc[0, "vec_id"] == "doc0005"
+
+
 def test_cosine_topk_empty_queries(spark, corpus):
     """An empty query set returns an empty result with the output schema
     (round-4 ADVICE: np.stack([]) used to raise on the driver)."""
