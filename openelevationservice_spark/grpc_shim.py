@@ -26,8 +26,8 @@ from dataclasses import dataclass
 import pandas as pd
 
 from .api import ApiError, ElevationService
-from .operators.color import polygon_color_features, polygon_stats
-from .operators.polygon import polygon_pixels
+from .operators.color import polygon_color_features
+from .operators.polygon import polygon_pixel_runs, runs_stats
 from .plans.cache import lease, release
 
 #: per-RPC lease-slot counter: grpc_serve runs a thread pool, and a
@@ -136,26 +136,27 @@ class OpenElevationServicer:
                           "ring": [[{"lon": x, "lat": y} for x, y in ring]]}),
             schema="poly_id long, ring array<struct<lon:double,lat:double>>",
         )
-        # ONE pixel dump per RPC: the dump is leased (persisted) so the
-        # stats action materializes it and the dissolve action reads the
-        # cache — the reference likewise fetches pixels once and derives
-        # both from the list (querybuilder.py:77-88).  The former shape
-        # rebuilt the pixel plan for the dissolve, rasterizing twice.
-        # The slot is per-call (and released at RPC end): concurrent
-        # area RPCs from grpc_serve's thread pool must not evict each
-        # other's in-flight cache.
+        # ONE rasterization per RPC: the scanline-run dump is leased
+        # (persisted) so the stats action materializes it and the
+        # dissolve action reads the cache — the reference likewise
+        # fetches pixels once and derives both from the list
+        # (querybuilder.py:77-88).  Runs, not exploded pixels, are the
+        # shared unit (the r5 runs-resident dissolve shape).  The slot
+        # is per-call (and released at RPC end): concurrent area RPCs
+        # from grpc_serve's thread pool must not evict each other's
+        # in-flight cache.
         slot = f"grpc_area_pixels:{next(_AREA_RPC_SEQ)}"
-        pixels = polygon_pixels(polys, svc.images_df, spread=False)
-        lease(slot, pixels)
+        runs = polygon_pixel_runs(polys, svc.images_df, spread=False)
+        lease(slot, runs)
         try:
-            stats = polygon_stats(pixels).collect()
+            stats = runs_stats(runs).collect()
             if not stats:
                 raise GrpcAbort(
                     "INTERNAL",
                     "The requested geometry is outside the bounds of srtm",
                 )
             feats = polygon_color_features(
-                polys, svc.images_df, spread=False, pixels_df=pixels
+                polys, svc.images_df, spread=False, runs_df=runs
             ).toPandas()
         finally:
             release(slot)

@@ -10,14 +10,17 @@ polygons, then **client-side** min/max/avg, 23-band bucketing
 
 and a shapely ``unary_union`` per band.  At continental polygons that
 pixel list explodes driver memory (SURVEY.md §3.3) — here the whole
-pipeline stays distributed: pixel rows → two-pass agg (G1) → JVM
-bucket columns (G2) → hash-repartition by **(poly_id, height_base)**
-(bands dissolve independently, exactly as the reference unions per
-band — so the largest polygon's bands spread across tasks) → one
-packed ``array<long>`` cell row per band (co-partitioned
-``collect_list``, see :func:`_banded_cells`) → exact grid dissolve
-kernel (G3) over each band row.  Only the final FeatureCollection is
-collected.
+pipeline stays distributed AND runs-resident (r5): scanline runs →
+stats off the run arrays (G1, JVM array_min/array_max — no pixel
+explode) → vectorized band-split kernel → packed band-subruns →
+hash-repartition by **(poly_id, height_base)** (bands dissolve
+independently, exactly as the reference unions per band — so the
+largest polygon's bands spread across tasks) → one ``array<long>``
+subrun row per band (co-partitioned ``collect_list``, see
+:func:`_banded_subruns`) → exact grid dissolve kernel (G3) over each
+band row.  Only the final FeatureCollection is collected.  The
+exploded-pixel shape survives as the asserted parity twin
+(:func:`_banded_cells`, ``cells_shape="pixels"`` / ``pixels_df=``).
 """
 
 from __future__ import annotations
@@ -32,7 +35,7 @@ from pyspark.sql import types as T
 from ..constants import NUM_RANGES, PX, WORLD_X0, WORLD_Y0
 from ..functions.dissolve import dissolve_pixels_rings, quad_counts
 from ..plans.cache import lease
-from .polygon import polygon_pixels
+from .polygon import polygon_pixel_runs, polygon_pixels, runs_stats
 
 
 def polygon_stats(pixels_df: DataFrame) -> DataFrame:
@@ -138,6 +141,124 @@ def _banded_cells(pixels: DataFrame, num_ranges: int) -> DataFrame:
     )
 
 
+#: subrun packing: one long per band-subrun, gy<<40 | gx0<<16 | len.
+#: 24 bits per grid axis = 16.7M cells; a global grid at SRTM-like
+#: resolution is 432k cells per axis (constants.NCELL_X * TILE_PX), 38x
+#: inside the bound.  len is a scanline-run fragment, <= TILE_PX (50) by
+#: construction.  Bounds are asserted in the kernel, not assumed.
+_SUB_GY_SHIFT = 40
+_SUB_GX_SHIFT = 16
+_SUB_G_MAX = 1 << 24
+_SUB_LEN_MAX = 1 << 16
+
+SUBRUN_SCHEMA = T.StructType(
+    [
+        T.StructField("poly_id", T.LongType()),
+        T.StructField("height_base", T.LongType()),
+        T.StructField("sub", T.LongType()),
+    ]
+)
+
+
+def _band_subrun_kernel(num_ranges: int):
+    """Vectorized band-split of scanline runs → packed band-subruns.
+
+    Input rows: (poly_id, gy, gx0, zs, min_z, max_z) — the pixel-run
+    table joined with the broadcast per-polygon stats.  The kernel
+    flattens every run in the batch into one z vector, applies the
+    exact reference band arithmetic (``querybuilder.py:56-102``; the
+    same IEEE-double expression as :func:`with_height_base`, so both
+    shapes bucket identically), and splits runs at band-change
+    boundaries — pure numpy, no per-run python loop.  Terrain is
+    locally smooth, so subrun count ~ run count, not pixel count:
+    the downstream exchange ships ~run-many longs instead of
+    pixel-many rows (the measured r5 transfer term)."""
+
+    def kernel(batches):
+        cols = ["poly_id", "height_base", "sub"]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            zs_list = pdf["zs"].to_numpy()
+            lens = np.fromiter((len(v) for v in zs_list), np.int64,
+                               count=len(zs_list))
+            total = int(lens.sum())
+            if total == 0:
+                continue
+            rep = np.repeat(np.arange(len(pdf)), lens)
+            z = np.concatenate([np.asarray(v, dtype=np.int64) for v in zs_list])
+            min_z = pdf["min_z"].to_numpy().astype(np.float64)[rep]
+            max_z = pdf["max_z"].to_numpy().astype(np.float64)[rep]
+            range_div = (max_z - min_z + 1.0) / float(num_ranges)
+            color_range = np.floor((z - min_z) / range_div)
+            hb = np.ceil(color_range * range_div + min_z).astype(np.int64)
+            starts0 = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            gx = pdf["gx0"].to_numpy()[rep] + (np.arange(total) - starts0[rep])
+            gy = pdf["gy"].to_numpy()[rep]
+            new = np.empty(total, dtype=bool)
+            new[0] = True
+            new[1:] = (hb[1:] != hb[:-1]) | (rep[1:] != rep[:-1])
+            s = np.flatnonzero(new)
+            ln = np.diff(np.append(s, total))
+            gy_s, gx_s = gy[s], gx[s]
+            if len(gy_s) and not (gy_s.max() < _SUB_G_MAX
+                                  and gx_s.max() + ln.max() < _SUB_G_MAX
+                                  and ln.max() < _SUB_LEN_MAX):
+                raise AssertionError(
+                    "band-subrun outside the 24/24/16-bit packing bound"
+                )
+            yield pd.DataFrame(
+                {"poly_id": pdf["poly_id"].to_numpy()[rep][s],
+                 "height_base": hb[s],
+                 "sub": (gy_s << _SUB_GY_SHIFT) | (gx_s << _SUB_GX_SHIFT) | ln},
+                columns=cols,
+            )
+
+    return kernel
+
+
+def _banded_subruns(runs: DataFrame, num_ranges: int) -> DataFrame:
+    """One row per (poly_id, height_base): the band's packed subruns.
+
+    The runs-resident successor of :func:`_banded_cells` (kept as the
+    parity twin): the persisted/aggregated/shuffled unit is the
+    scanline run, never the exploded pixel row.  vs the pixel shape
+    this removes the 9.9M-row posexplode+persist, the pixel-row stats
+    scan (JVM array_min/array_max over runs instead), the 9.9M-long
+    exchange (ships ~run-many packed subruns) and the 9.9M-value
+    collect_list — the kernel re-expands cells from subruns with one
+    np.repeat.  Results are asserted frame-identical to the pixel
+    shape in tests/test_polygon.py."""
+    stats = runs_stats(runs).select("poly_id", "min_z", "max_z")
+    j = runs.join(F.broadcast(stats), "poly_id")
+    subs = j.mapInPandas(_band_subrun_kernel(num_ranges), SUBRUN_SCHEMA)
+    return (
+        subs.repartition(_dissolve_partitions(subs), "poly_id", "height_base")
+        .groupBy("poly_id", "height_base")
+        .agg(F.collect_list("sub").alias("subs"))
+    )
+
+
+def _iter_subrun_groups(batches):
+    """(poly_id, height_base, gx, gy) per band row, cells re-expanded
+    from packed subruns.  collect_list order is nondeterministic, but
+    every kernel consumer rasterizes into an occupancy grid first —
+    order-invariant by construction."""
+    for pdf in batches:
+        for pid, hb, subs in zip(pdf["poly_id"].to_numpy(),
+                                 pdf["height_base"].to_numpy(),
+                                 pdf["subs"].to_numpy()):
+            arr = np.asarray(subs, dtype=np.int64)
+            gy0 = arr >> _SUB_GY_SHIFT
+            gx0 = (arr >> _SUB_GX_SHIFT) & (_SUB_G_MAX - 1)
+            ln = arr & (_SUB_LEN_MAX - 1)
+            total = int(ln.sum())
+            rep = np.repeat(np.arange(len(arr)), ln)
+            starts0 = np.concatenate(([0], np.cumsum(ln)[:-1]))
+            gx = gx0[rep] + (np.arange(total) - starts0[rep])
+            yield int(pid), int(hb), gx, gy0[rep]
+
+
 def _iter_cell_groups(batches):
     """(poly_id, height_base, gx, gy) per band row.  collect_list order
     is nondeterministic, but every kernel consumer rasterizes the cells
@@ -157,29 +278,42 @@ def _dissolve_partition(batches):
     yield pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA.fields])
 
 
+def _dissolve_partition_subs(batches):
+    rows = []
+    for pid, hb, gx, gy in _iter_subrun_groups(batches):
+        rows.extend(_dissolve_group(pid, hb, gx, gy))
+    yield pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA.fields])
+
+
 def polygon_color_features(polygons_df: DataFrame, images_df: DataFrame,
                            num_ranges: int = NUM_RANGES,
                            index_strategy: str = "broadcast",
                            spread: bool = True,
-                           pixels_df: DataFrame | None = None) -> DataFrame:
+                           pixels_df: DataFrame | None = None,
+                           runs_df: DataFrame | None = None) -> DataFrame:
     """Distributed equivalent of ``group_and_union_geometries``.
 
     Returns one row per dissolved feature:
     (poly_id, height_base, feature_idx, n_rings, area_px, rings).
 
-    Pass ``pixels_df`` (an already-built — typically already-persisted —
-    ``polygon_pixels`` result for the same polygons) to reuse one pixel
-    dump across stats and dissolve; the caller then owns its cache
-    lifecycle and this operator takes no lease of its own.
+    Default shape is runs-resident (see :func:`_banded_subruns`); pass
+    ``runs_df`` (an already-built — typically already-persisted —
+    ``polygon_pixel_runs`` result for the same polygons) to reuse one
+    rasterization across stats and dissolve; the caller then owns its
+    cache lifecycle and this operator takes no lease of its own.
+    ``pixels_df`` selects the pixel-shape parity twin the same way.
     """
     if pixels_df is not None:
-        pixels = pixels_df
-    else:
-        pixels = polygon_pixels(polygons_df, images_df,
-                                index_strategy=index_strategy, spread=spread)
-        lease("color_features", pixels)
-    return _banded_cells(pixels, num_ranges).mapInPandas(
-        _dissolve_partition, schema=FEATURE_SCHEMA
+        return _banded_cells(pixels_df, num_ranges).mapInPandas(
+            _dissolve_partition, schema=FEATURE_SCHEMA
+        )
+    if runs_df is None:
+        runs_df = polygon_pixel_runs(polygons_df, images_df,
+                                     index_strategy=index_strategy,
+                                     spread=spread)
+        lease("color_features", runs_df)
+    return _banded_subruns(runs_df, num_ranges).mapInPandas(
+        _dissolve_partition_subs, schema=FEATURE_SCHEMA
     )
 
 
@@ -240,18 +374,33 @@ def _invariants_partition(batches):
     yield pd.DataFrame(rows, columns=[f.name for f in INVARIANT_SCHEMA.fields])
 
 
+def _invariants_partition_subs(batches):
+    rows = [_invariants_group(pid, hb, gx, gy)
+            for pid, hb, gx, gy in _iter_subrun_groups(batches)]
+    yield pd.DataFrame(rows, columns=[f.name for f in INVARIANT_SCHEMA.fields])
+
+
 def polygon_color_invariants(polygons_df: DataFrame, images_df: DataFrame,
                              num_ranges: int = NUM_RANGES,
                              index_strategy: str = "broadcast",
-                             spread: bool = True) -> DataFrame:
+                             spread: bool = True,
+                             cells_shape: str = "subruns") -> DataFrame:
     """Per-band dissolve invariants (poly_id, height_base, area_px,
     euler4, euler8) — the oracle-checkable face of the dissolve (G3).
-    Same plan shape as :func:`polygon_color_features`."""
-    pixels = polygon_pixels(polygons_df, images_df,
-                            index_strategy=index_strategy, spread=spread)
-    lease("color_invariants", pixels)
-    return _banded_cells(pixels, num_ranges).mapInPandas(
-        _invariants_partition, schema=INVARIANT_SCHEMA
+    Same plan shape as :func:`polygon_color_features`;
+    ``cells_shape="pixels"`` selects the exploded-pixel parity twin."""
+    if cells_shape == "pixels":
+        pixels = polygon_pixels(polygons_df, images_df,
+                                index_strategy=index_strategy, spread=spread)
+        lease("color_invariants", pixels)
+        return _banded_cells(pixels, num_ranges).mapInPandas(
+            _invariants_partition, schema=INVARIANT_SCHEMA
+        )
+    runs = polygon_pixel_runs(polygons_df, images_df,
+                              index_strategy=index_strategy, spread=spread)
+    lease("color_invariants", runs)
+    return _banded_subruns(runs, num_ranges).mapInPandas(
+        _invariants_partition_subs, schema=INVARIANT_SCHEMA
     )
 
 

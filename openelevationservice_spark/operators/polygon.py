@@ -289,6 +289,32 @@ def polygon_pixel_runs(polygons_df: DataFrame, images_df: DataFrame,
     return j.mapInPandas(_pixel_runs, schema=RUN_SCHEMA)
 
 
+def runs_stats(runs_df: DataFrame) -> DataFrame:
+    """min/max/avg/count per polygon straight off scanline runs —
+    value-identical to ``polygon_stats(polygon_pixels(...))`` (G1,
+    reference ``querybuilder.py:84-88``) without exploding the runs to
+    pixel rows: per-run min/max/count are JVM ``array_min`` /
+    ``array_max`` / ``size`` inside codegen, the per-run z sum is one
+    ``aggregate`` fold (exact integer arithmetic, so avg matches the
+    pixel-path double average bit-for-bit only after the final single
+    division — asserted in tests/test_polygon.py)."""
+    run_sum = F.aggregate("zs", F.lit(0).cast("long"),
+                          lambda acc, x: acc + x.cast("long"))
+    per_run = runs_df.select(
+        "poly_id",
+        F.array_min("zs").alias("run_min"),
+        F.array_max("zs").alias("run_max"),
+        F.size("zs").cast("long").alias("run_n"),
+        run_sum.alias("run_sum"),
+    )
+    return per_run.groupBy("poly_id").agg(
+        F.min("run_min").alias("min_z"),
+        F.max("run_max").alias("max_z"),
+        (F.sum("run_sum") / F.sum("run_n")).alias("avg_z"),
+        F.sum("run_n").alias("n_pixels"),
+    )
+
+
 def polygon_pixels(polygons_df: DataFrame, images_df: DataFrame,
                    index_strategy: str = "broadcast",
                    spread: bool = True, emit: str = "runs") -> DataFrame:

@@ -102,19 +102,19 @@ def test_area_out_of_coverage_aborts(servicer):
 
 def test_area_ranges_single_pixel_dump(servicer, world, monkeypatch):
     """AreaRangesElevation rasterizes the polygon ONCE per RPC: the
-    leased pixel dump feeds both the stats collect and the dissolve
-    (the reference likewise fetches pixels once, querybuilder.py:77-88).
-    The former shape called polygon_pixels twice."""
+    leased scanline-run dump feeds both the stats collect and the
+    dissolve (the reference likewise fetches pixels once,
+    querybuilder.py:77-88).  The former shape rasterized twice."""
     import openelevationservice_spark.grpc_shim as shim
 
     calls = []
-    orig = shim.polygon_pixels
+    orig = shim.polygon_pixel_runs
 
     def counting(*a, **k):
         calls.append(1)
         return orig(*a, **k)
 
-    monkeypatch.setattr(shim, "polygon_pixels", counting)
+    monkeypatch.setattr(shim, "polygon_pixel_runs", counting)
     req = {
         "bottomLeft": {"lon": world.min_x + 0.1 * TILE_DEG,
                        "lat": world.max_y - 0.6 * TILE_DEG},

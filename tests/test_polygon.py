@@ -236,3 +236,78 @@ def test_dissolve_bands_of_one_polygon_spread_across_tasks(spark, world, images)
     assert parts["pid"].nunique() > 1                  # ... in many tasks
     # and each band stays whole (one task per band)
     assert parts.groupby("height_base")["pid"].nunique().max() == 1
+
+
+def test_runs_stats_equal_pixel_stats(spark, world, images):
+    """runs_stats (JVM array folds over scanline runs) must be
+    value-identical to polygon_stats over the exploded pixel rows —
+    including the double avg (exact integer sum / count in both)."""
+    from openelevationservice_spark.operators.polygon import (
+        polygon_pixel_runs, runs_stats,
+    )
+
+    x0 = world.min_x + 0.1 * TILE_DEG
+    y0 = world.max_y - 1.0 * TILE_DEG
+    tri = [
+        {"lon": x0, "lat": y0},
+        {"lon": x0 + TILE_DEG, "lat": y0},
+        {"lon": x0, "lat": y0 + TILE_DEG},
+        {"lon": x0, "lat": y0},
+    ]
+    polys = spark.createDataFrame(
+        pd.DataFrame({"poly_id": [0, 1],
+                      "ring": [tri, bbox_ring(x0, y0, x0 + 0.7 * TILE_DEG,
+                                              y0 + 0.9 * TILE_DEG)]}),
+        schema="poly_id long, ring array<struct<lon:double, lat:double>>")
+    a = (runs_stats(polygon_pixel_runs(polys, images))
+         .toPandas().sort_values("poly_id").reset_index(drop=True))
+    b = (polygon_stats(polygon_pixels(polys, images))
+         .toPandas().sort_values("poly_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a[list(b.columns)], b, check_dtype=False)
+    assert (a["avg_z"].to_numpy() == b["avg_z"].to_numpy()).all()
+
+
+def test_dissolve_subrun_shape_equals_pixel_shape(spark, world, images):
+    """The runs-resident dissolve (band-split subruns, r5 default) and
+    the exploded-pixel twin are the same operator: identical invariants
+    AND identical traced features on both a rectangle (rect fast path)
+    and a triangle (general PIP, runs split across bands)."""
+    from openelevationservice_spark.operators.color import (
+        polygon_color_invariants,
+    )
+
+    x0 = world.min_x + 0.1 * TILE_DEG
+    y0 = world.max_y - 1.6 * TILE_DEG
+    tri = [
+        {"lon": x0, "lat": y0},
+        {"lon": x0 + 1.4 * TILE_DEG, "lat": y0},
+        {"lon": x0, "lat": y0 + 1.4 * TILE_DEG},
+        {"lon": x0, "lat": y0},
+    ]
+    polys = spark.createDataFrame(
+        pd.DataFrame({"poly_id": [0, 1],
+                      "ring": [tri, bbox_ring(x0, y0, x0 + 0.8 * TILE_DEG,
+                                              y0 + 1.1 * TILE_DEG)]}),
+        schema="poly_id long, ring array<struct<lon:double, lat:double>>")
+
+    key = ["poly_id", "height_base"]
+    inv_new = (polygon_color_invariants(polys, images)
+               .toPandas().sort_values(key).reset_index(drop=True))
+    inv_old = (polygon_color_invariants(polys, images, cells_shape="pixels")
+               .toPandas().sort_values(key).reset_index(drop=True))
+    assert len(inv_new) == len(inv_old) > 10
+    pd.testing.assert_frame_equal(inv_new, inv_old)
+
+    fkey = key + ["feature_idx"]
+    f_new = (polygon_color_features(polys, images)
+             .toPandas().sort_values(fkey).reset_index(drop=True))
+    f_old = (polygon_color_features(
+                 polys, images, pixels_df=polygon_pixels(polys, images))
+             .toPandas().sort_values(fkey).reset_index(drop=True))
+    assert len(f_new) == len(f_old) > 10
+    for c in ("n_rings", "area_px"):
+        assert (f_new[c].to_numpy() == f_old[c].to_numpy()).all(), c
+    # ring geometry: compare as canonical vertex tuples per feature
+    def canon(rings):
+        return tuple(tuple((p["x"], p["y"]) for p in ring) for ring in rings)
+    assert [canon(r) for r in f_new["rings"]] == [canon(r) for r in f_old["rings"]]
