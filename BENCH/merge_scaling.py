@@ -105,10 +105,13 @@ here).  bench.py runs one warm-up per query (excluded), each query is
 the median of 3 executions, and every rep REBUILDS its DataFrame plan
 (fresh lineage — no cross-rep shuffle or broadcast reuse).  Volumes are
 raised for this measurement (point x512, line x128, polygon x8,
-tile-ingest x64, minhash x8 word-prefix-namespaced corpus replicas —
-dedup_clusters shares that corpus and knob, ann x800 after the round-4
-fused kernel made x50 fixed-cost-bound, dissolve x1) so parallel work
-dominates per-action fixed costs
+tile-ingest x128 — raised from x64 per the r3 decomposition's measured
+fixed-cost share, VERDICT r4 #7 —, minhash x16 word-prefix-namespaced
+corpus replicas — dedup_clusters shares that corpus and knob; raised
+from x8 per the r4 volume sweep that measured the x8 level
+fixed-cost-bound (eff 0.51 at x8 vs 0.65 at x16/x32, SCALE.md) —,
+ann x800 after the round-4 fused kernel made x50 fixed-cost-bound,
+dissolve x1) so parallel work dominates per-action fixed costs
 (scheduling, broadcast build) that are constant in core count; source
 tables are column-pruned, repartitioned proportional to cores and
 cached (single ~10MB parquet files would otherwise serialize every
@@ -138,24 +141,27 @@ demonstrating >=0.8 engine-side efficiency.
 (t_N / t_4N) / 4 = {eff:.3f}** (target >= 0.8: {"PASS" if eff >= 0.8 else "FAIL"}).
 Composite over all three replay queries: {eff_all:.3f}.
 
-Physical shapes behind the numbers (round 4): point/line replay and the
+Physical shapes behind the numbers (round 5): point/line replay and the
 polygon pixel-row generation are pure whole-stage-codegen JVM
 (line_replay's three-way decomposition in SCALE.md: densify ~1.0, join
 ~0.83, element_at gather ~0.64 marginal — shared-socket LLC/bandwidth);
-the polygon kernel ships scanline RUNS over Arrow; the dissolve
-hash-partitions by (poly_id, height_base) into an EXPLICIT 4-per-core
-task count (AQE's byte-based coalescing made a straggler tail) and
-streams sorted band groups through the round-4 successor-permutation
-tracer (3.5-4.2x the round-3 kernel, eff {eff_q['color_dissolve']:.3f}); MinHash uses
+the polygon kernel ships scanline RUNS over Arrow; the dissolve is
+runs-resident end-to-end (r5: scanline runs persisted, stats off the
+run arrays in codegen, vectorized band-split to packed subruns,
+EXPLICIT 4-per-core (poly_id, height_base) exchange — AQE's byte-based
+coalescing made a straggler tail —, successor-permutation tracer;
+eff {eff_q['color_dissolve']:.3f}); MinHash uses
 the integer permutation family over one md5 base hash per shingle and a
-single-scan bucket gather (eff {eff_q['minhash_lsh']:.3f} at x8 corpus);
-dedup_clusters adds endpoint-only connected components over the LSH
-pairs (its CC rounds are driver-job fixed cost at this graph size —
-decomposed in SCALE.md); ann_topk is the fused Arrow score+prune kernel
-(6.2x/2.8x faster than the r3 fold at 2/8 cores; its eff
-{eff_q['ann_topk']:.3f} is the measured JVM Arrow list-serialization share, also
-decomposed in SCALE.md); tile ingest is decode-bound python workers
-after the vectorized phash (its {eff_q['tile_ingest_stats']:.3f} eff at x64 volume is
+single-scan bucket gather (eff {eff_q['minhash_lsh']:.3f} at x16 corpus);
+dedup_clusters adds connected components over the LSH pairs (driver
+union-find below the 2M-pair threshold, endpoint-only distributed
+loop above it — both decomposed in SCALE.md); ann_topk ships
+embeddings as packed fixed-width binary and scores straight off Arrow
+record-batch buffers via mapInArrow (packed A/B lifted eff 0.51 ->
+0.62 at x800; its residual {eff_q['ann_topk']:.3f} is the scoring stage's own
+single-socket marginal, decomposed in SCALE.md); tile ingest is
+decode-bound python workers after the vectorized phash
+(its {eff_q['tile_ingest_stats']:.3f} eff at x128 volume is
 fixed-cost + Arrow-boundary share).  Remaining sub-0.8 queries are
 bounded by the measured single-socket ceiling (identical
 allocation-heavy work costs ~40% more CPU at 8 threads in one shared

@@ -40,7 +40,13 @@ SCALE_ENV = {
     # has no exchange at all), so the recorded level should be the one
     # where parallel work dominates (VERDICT r4 #7)
     "OES_BENCH_TILE_REPS": os.environ.get("OES_SCALE_TILE", "128"),
-    "OES_BENCH_MINHASH_REPLICAS": os.environ.get("OES_SCALE_MINHASH", "8"),
+    # minhash/dedup corpus x16 (was x8): the r4 volume sweep measured
+    # dedup_clusters at 0.51 eff on the x8 corpus vs 0.65 at x16/x32 —
+    # the difference is the constant CC-rounds/driver-job share (now
+    # also cut by the r5 union-find fast path) amortizing as edge
+    # volume grows, so the recorded level is the one where the LSH
+    # scan's own parallel work dominates (same rationale as tile x128)
+    "OES_BENCH_MINHASH_REPLICAS": os.environ.get("OES_SCALE_MINHASH", "16"),
     "OES_BENCH_REPS": os.environ.get("OES_SCALE_REPS", "3"),
 }
 
