@@ -39,17 +39,51 @@ _TAIL_OFF = ((0, 0), (1, 0), (1, 1), (0, 1))
 _PREF = ((1, 0, 3), (2, 1, 0), (3, 2, 1), (0, 3, 2))
 
 
+#: packing shift for (y, x) → one int64 sort key; local spans are far
+#: inside 32 bits (a band is bounded by one polygon's bbox).
+_KSH = 32
+
+
+def _sorted_presence(keys: np.ndarray, probe: np.ndarray) -> np.ndarray:
+    """Boolean mask: which ``probe`` keys exist in sorted-unique ``keys``."""
+    idx = np.searchsorted(keys, probe)
+    ok = idx < len(keys)
+    ok[ok] = keys[idx[ok]] == probe[ok]
+    return ok
+
+
+def _cell_keys(gx: np.ndarray, gy: np.ndarray):
+    """Sorted-unique packed local cell keys + bbox origin.  Sorted packed
+    (y, x) keys enumerate cells in dense-grid row-major order, and
+    ``np.unique`` collapses duplicate cells exactly like an occupancy
+    grid — the shared first step of the tracer and the quad counts."""
+    gx = np.asarray(gx, dtype=np.int64)
+    gy = np.asarray(gy, dtype=np.int64)
+    if len(gx) == 0:
+        return np.empty(0, dtype=np.int64), 0, 0
+    x0 = int(gx.min())
+    y0 = int(gy.min())
+    return np.unique(((gy - y0) << _KSH) | (gx - x0)), x0, y0
+
+
 def _trace_loops_fast(gx: np.ndarray, gy: np.ndarray):
     """Boundary loops of the pixel set, as (loops, areas2).
 
-    Fully-vectorized successor construction: every directed boundary
-    edge has exactly ONE successor under the turn rule (a pure function
-    of the 2×2 cell occupancy at its head vertex), so the edge set
-    decomposes into the cycles of a permutation — computed here as
-    numpy id-grid gathers, with only the final cycle walk as a plain
-    list chase (~0.1 µs/edge vs ~1.5 µs/edge for the former
-    dict/set-of-tuples tracer, which was 65 % of the bench suite's
-    dominant query).
+    Cell-centric successor construction: every directed boundary edge
+    has exactly ONE successor under the turn rule (a pure function of
+    the 2×2 cell occupancy at its head vertex).  Neighbor occupancy and
+    the (tail vertex, dir) → edge-id lookup both run as
+    ``np.searchsorted`` probes of sorted packed (y, x) keys, so the
+    whole construction is O(E log E) in the EDGE count — the former
+    dense-grid form allocated and memset O(4·bbox-area) id grids per
+    band, which at ~23 bands per polygon re-touched every polygon's
+    bbox ~90× per dissolve (the measured r6 kernel owner).  Only the
+    final cycle walk chases plain lists.
+
+    Edge enumeration order (direction-major, then row-major over
+    cells) is identical to the dense-grid form — sorted packed keys
+    ARE row-major order — so loops, starting vertices and output order
+    are bit-identical (asserted in tests/test_geometry_dissolve.py).
 
     Returns ``loops`` (list of vertex lists, tails only, not closed,
     GLOBAL grid coords) and ``areas2`` (twice the shoelace area per
@@ -58,52 +92,64 @@ def _trace_loops_fast(gx: np.ndarray, gy: np.ndarray):
     U: −x} of its tail, and the per-loop sum is translation-invariant,
     so the per-edge contributions are precomputed vectorized.
     """
-    g, x0, y0 = _dense_grid(gx, gy)
-    h, w = g.shape
-    p = np.pad(g, 1)
-    inner = p[1:-1, 1:-1]
-    masks = (
-        inner & ~p[:-2, 1:-1],   # top    → dir R
-        inner & ~p[1:-1, 2:],    # right  → dir D
-        inner & ~p[2:, 1:-1],    # bottom → dir L
-        inner & ~p[1:-1, :-2],   # left   → dir U
-    )
+    ck, x0, y0 = _cell_keys(gx, gy)
+    return _trace_loops_keys(ck, x0, y0)
+
+
+#: quadrant-bit values for quad_counts (a=1, b=2, c=4, d=8)
+_QBITS = np.array([1, 2, 4, 8], dtype=np.int8)
+
+
+def _trace_loops_keys(ck: np.ndarray, x0: int, y0: int):
+    """Tracer body over sorted-unique LOCAL cell keys; (x0, y0) is the
+    bbox origin re-added to the emitted GLOBAL loop vertices."""
+    if len(ck) == 0:
+        return [], []
+    cy = ck >> _KSH
+    cx = ck & ((1 << _KSH) - 1)
+    nbr_delta = (-(1 << _KSH), 1, (1 << _KSH), -1)   # top/right/bottom/left
+    # one presence probe for all 4 neighbor directions
+    nk = np.concatenate([ck + d for d in nbr_delta])
+    present = _sorted_presence(ck, nk).reshape(4, len(ck))
     txs, tys, counts = [], [], []
     for d in range(4):
-        yy, xx = np.nonzero(masks[d])
+        bnd = ~present[d]
         ox, oy = _TAIL_OFF[d]
-        txs.append(xx + ox)
-        tys.append(yy + oy)
-        counts.append(len(xx))
+        txs.append(cx[bnd] + ox)
+        tys.append(cy[bnd] + oy)
+        counts.append(int(bnd.sum()))
     n = int(sum(counts))
     if n == 0:
         return [], []
-    # one id grid per direction over the (h+1) x (w+1) vertex lattice:
-    # (tail vertex, dir) identifies an edge uniquely
-    idg = np.full((4, h + 1, w + 1), -1, dtype=np.int64)
-    offs = np.concatenate(([0], np.cumsum(counts)))
-    tx = np.empty(n, dtype=np.int64)
-    ty = np.empty(n, dtype=np.int64)
-    dirs = np.empty(n, dtype=np.int64)
+    tx = np.concatenate(txs)
+    ty = np.concatenate(tys)
+    dirs = np.repeat(np.arange(4), counts)
     contrib = np.empty(n, dtype=np.int64)
-    for d in range(4):
-        s, e = offs[d], offs[d + 1]
-        tx[s:e] = txs[d]
-        ty[s:e] = tys[d]
-        dirs[s:e] = d
-        idg[d, tys[d], txs[d]] = np.arange(s, e)
     contrib[dirs == 0] = -ty[dirs == 0]
     contrib[dirs == 1] = tx[dirs == 1]
     contrib[dirs == 2] = ty[dirs == 2]
     contrib[dirs == 3] = -tx[dirs == 3]
     dx = np.array([o[0] for o in _DXY])[dirs]
     dy = np.array([o[1] for o in _DXY])[dirs]
-    hx = tx + dx
-    hy = ty + dy
+    # (dir, tail vertex) identifies an edge uniquely.  The concatenated
+    # per-direction tail-key arrays are each sorted (monotone shift of
+    # the row-major cell order), so packing dir into the top bits makes
+    # ONE globally sorted array whose positions ARE edge ids — each
+    # successor-candidate lookup is a single searchsorted probe.
+    vk_all = (dirs << 60) | (ty << _KSH) | tx
+    hk = ((ty + dy) << _KSH) | (tx + dx)
     pref = np.array(_PREF, dtype=np.int64)[dirs]          # (n, 3)
-    e1 = idg[pref[:, 0], hy, hx]
-    e2 = idg[pref[:, 1], hy, hx]
-    e3 = idg[pref[:, 2], hy, hx]
+
+    def edge_at(dir_arr: np.ndarray) -> np.ndarray:
+        probe = (dir_arr << 60) | hk
+        idx = np.searchsorted(vk_all, probe)
+        ok = idx < n
+        ok[ok] = vk_all[idx[ok]] == probe[ok]
+        return np.where(ok, idx, -1)
+
+    e1 = edge_at(pref[:, 0])
+    e2 = edge_at(pref[:, 1])
+    e3 = edge_at(pref[:, 2])
     succ = np.where(e1 >= 0, e1, np.where(e2 >= 0, e2, e3)).tolist()
     gxl = (tx + x0).tolist()
     gyl = (ty + y0).tolist()
@@ -124,6 +170,161 @@ def _trace_loops_fast(gx: np.ndarray, gy: np.ndarray):
         loops.append(loop)
         areas.append(a)
     return loops, areas
+
+
+#: field widths of the batched cell key: band << 46 | ly << 23 | lx.
+#: Local (bbox-shifted) coords are far inside 23 bits; band index is the
+#: Arrow-batch row index (< 2^17 rows per batch by Arrow batch sizing).
+_BSH_BAND = 46
+_BSH_Y = 23
+_BMASK = (1 << _BSH_Y) - 1
+
+
+def batch_invariants(band: np.ndarray, gx: np.ndarray, gy: np.ndarray,
+                     n_bands: int, seg: np.ndarray):
+    """Per-band dissolve invariants for MANY bands in one vectorized
+    pass: returns (n_shells, n_holes_neg, area2_all, q1, q3, qd,
+    has_neg) int64 arrays of length ``n_bands``.
+
+    ``band`` assigns every cell to its band row; ``seg`` holds the
+    band segment boundaries (cells of band b are gx[seg[b]:seg[b+1]],
+    REQUIRED contiguous).  The successor construction is the same turn
+    rule as :func:`_trace_loops_keys`, run over all bands at once by
+    packing the band index into the cell key (probes never cross bands
+    — a borrow out of the coordinate fields lands on a nonexistent
+    key).  The per-edge Python cycle walk is replaced by min-label
+    pointer doubling over the successor permutation — O(E log L) numpy
+    gathers (L = longest ring) instead of a per-edge interpreted chase,
+    which owned the dissolve kernel's CPU at bench volume (~4 edges per
+    ring, ~190 rings per band: the walk cost ~26 s CPU per 23k bands).
+
+    Ring VERTEX SEQUENCES are never materialized, so this path computes
+    shells/holes/areas only; ``area2_all`` sums every cycle (shells +
+    and holes −) and ``n_holes_neg`` counts negative-area cycles.
+    Callers needing the reference hole-ATTACHMENT semantics (a hole
+    that no shell contains is dropped) must fall back to the per-band
+    ring path for bands with ``has_neg`` — attachment needs ring
+    geometry.  Zero-area degenerate cycles count as neither, exactly
+    like the ring path.
+    """
+    if n_bands > (1 << 16):
+        # band index must fit the 16-bit field of the packed edge key;
+        # Arrow batches cap rows at 65536, so real callers never hit this
+        raise ValueError(f"batch_invariants: {n_bands} bands > 2^16 per batch")
+    n_cells = len(gx)
+    if n_cells == 0:
+        z = np.zeros(n_bands, dtype=np.int64)
+        return z, z.copy(), z.copy(), z.copy(), z.copy(), z.copy(), np.zeros(n_bands, dtype=bool)
+    gx = np.asarray(gx, dtype=np.int64)
+    gy = np.asarray(gy, dtype=np.int64)
+    band = np.asarray(band, dtype=np.int64)
+    # per-band bbox origin (segments are contiguous)
+    x0b = np.minimum.reduceat(gx, seg[:-1])
+    y0b = np.minimum.reduceat(gy, seg[:-1])
+    lx = gx - x0b[band]
+    ly = gy - y0b[band]
+    ck = np.unique((band << _BSH_BAND) | (ly << _BSH_Y) | lx)
+    cb = ck >> _BSH_BAND
+    cy = (ck >> _BSH_Y) & _BMASK
+    cx = ck & _BMASK
+    nbr_delta = (-(1 << _BSH_Y), 1, (1 << _BSH_Y), -1)   # top/right/bottom/left
+    present = _sorted_presence(
+        ck, np.concatenate([ck + d for d in nbr_delta])).reshape(4, len(ck))
+    txs, tys, bnds, counts = [], [], [], []
+    for d in range(4):
+        sel = ~present[d]
+        ox, oy = _TAIL_OFF[d]
+        txs.append(cx[sel] + ox)
+        tys.append(cy[sel] + oy)
+        bnds.append(cb[sel])
+        counts.append(int(sel.sum()))
+    n = int(sum(counts))
+    zb = np.zeros(n_bands, dtype=np.int64)
+    if n == 0:
+        shells = zb
+        holes = zb.copy()
+        area2 = zb.copy()
+        has_neg = np.zeros(n_bands, dtype=bool)
+    else:
+        offs = np.concatenate(([0], np.cumsum(counts)))
+        tx = np.concatenate(txs)
+        ty = np.concatenate(tys)
+        eb = np.concatenate(bnds)
+        dirs = np.repeat(np.arange(4), counts)
+        contrib = np.empty(n, dtype=np.int64)
+        contrib[dirs == 0] = -ty[dirs == 0]
+        contrib[dirs == 1] = tx[dirs == 1]
+        contrib[dirs == 2] = ty[dirs == 2]
+        contrib[dirs == 3] = -tx[dirs == 3]
+        dx = np.array([o[0] for o in _DXY])[dirs]
+        dy = np.array([o[1] for o in _DXY])[dirs]
+        # (dir, band, tail vertex) identifies an edge uniquely; each
+        # per-direction block is sorted (monotone shift of row-major
+        # cell order) and dir-major concatenation keeps the whole array
+        # sorted, so packing dir into the top 2 bits (uint64 — dir 2/3
+        # would hit int64's sign bit) makes positions = edge ids and one
+        # successor-candidate lookup = ONE searchsorted probe
+        vk_all = ((dirs.astype(np.uint64) << 62)
+                  | (eb.astype(np.uint64) << _BSH_BAND)
+                  | (ty.astype(np.uint64) << _BSH_Y) | tx.astype(np.uint64))
+        hk = ((eb.astype(np.uint64) << _BSH_BAND)
+              | ((ty + dy).astype(np.uint64) << _BSH_Y)
+              | (tx + dx).astype(np.uint64))
+        pref = np.array(_PREF, dtype=np.uint64)[dirs]
+
+        def edge_at(dir_arr: np.ndarray, hks: np.ndarray) -> np.ndarray:
+            probe = (dir_arr << np.uint64(62)) | hks
+            idx = np.searchsorted(vk_all, probe)
+            ok = idx < n
+            ok[ok] = vk_all[idx[ok]] == probe[ok]
+            return np.where(ok, idx, -1)
+
+        # probe the preferred turn for every edge, the fallbacks only
+        # for the misses (the sharpest turn exists at most vertices)
+        succ = edge_at(pref[:, 0], hk)
+        miss = np.flatnonzero(succ < 0)
+        if len(miss):
+            succ[miss] = edge_at(pref[miss, 1], hk[miss])
+            miss2 = miss[succ[miss] < 0]
+            if len(miss2):
+                succ[miss2] = edge_at(pref[miss2, 2], hk[miss2])
+        # min-label pointer doubling: lbl converges to the cycle-min id
+        lbl = np.arange(n)
+        s = succ
+        while True:
+            lbl = np.minimum(lbl, lbl[s])
+            if (lbl == lbl[succ]).all():
+                break
+            s = s[s]
+        # cycle representatives are exactly the self-labeled edges and
+        # arrive pre-sorted, so factorization is one searchsorted — no
+        # full np.unique sort of the label array
+        reps = np.flatnonzero(lbl == np.arange(n))
+        inv = np.searchsorted(reps, lbl)
+        # per-cycle shoelace sums: contribs are small ints, cycle sums
+        # stay far inside float64's exact-integer range
+        a2 = np.rint(np.bincount(inv, weights=contrib)).astype(np.int64)
+        cyc_band = eb[reps]
+        shells = np.bincount(cyc_band[a2 > 0], minlength=n_bands)
+        holes = np.bincount(cyc_band[a2 < 0], minlength=n_bands)
+        area2 = np.bincount(cyc_band, weights=a2, minlength=n_bands)
+        area2 = np.rint(area2).astype(np.int64)
+        has_neg = holes > 0
+    # vertex-centric quad counts over the same keys (see _quad_counts_keys)
+    row = 1 << _BSH_Y
+    keys = np.concatenate((ck + row + 1, ck + row, ck + 1, ck))
+    vals = np.repeat(_QBITS, len(ck))
+    order = np.argsort(keys, kind="stable")
+    ks = keys[order]
+    vs = vals[order]
+    starts = np.flatnonzero(np.concatenate(([True], ks[1:] != ks[:-1])))
+    masks = np.bitwise_or.reduceat(vs, starts)
+    wband = ks[starts] >> _BSH_BAND
+    pc = _POP4[masks]
+    q1 = np.bincount(wband[pc == 1], minlength=n_bands)
+    q3 = np.bincount(wband[pc == 3], minlength=n_bands)
+    qd = np.bincount(wband[(masks == 6) | (masks == 9)], minlength=n_bands)
+    return shells, holes, area2, q1, q3, qd, has_neg
 
 
 def _signed_area2(loop) -> int:
@@ -150,6 +351,26 @@ def _point_in_loop(px: float, py: float, loop) -> bool:
     return inside
 
 
+def _loop_arrays(loop):
+    """(x1, y1, x2, y2) edge arrays of a loop (not closed) — cached per
+    shell by the hole-attachment pass."""
+    a = np.asarray(loop, dtype=np.float64)
+    b = np.roll(a, -1, axis=0)
+    return a[:, 0], a[:, 1], b[:, 0], b[:, 1]
+
+
+def _point_in_loop_np(px: float, py: float, arrs) -> bool:
+    """Vectorized twin of :func:`_point_in_loop`: identical per-edge
+    float arithmetic, crossing-parity count — order-independent, so the
+    boolean matches the scalar loop exactly."""
+    x1, y1, x2, y2 = arrs
+    cross = (y1 > py) != (y2 > py)
+    if not cross.any():
+        return False
+    xint = x1[cross] + (py - y1[cross]) / (y2[cross] - y1[cross]) * (x2[cross] - x1[cross])
+    return bool(int((px < xint).sum()) & 1)
+
+
 def _dense_grid(gx: np.ndarray, gy: np.ndarray):
     """Boolean occupancy grid over the cell bbox + its origin."""
     x0 = int(gx.min())
@@ -169,7 +390,14 @@ def dissolve_pixels_rings(gx: np.ndarray, gy: np.ndarray):
     signed area of every ring (shell +, hole −) — already computed by
     the tracer, so callers never re-walk ring vertices for areas.
     """
-    loops, la = _trace_loops_fast(np.asarray(gx), np.asarray(gy))
+    ck, x0, y0 = _cell_keys(gx, gy)
+    return _dissolve_rings_keys(ck, x0, y0)
+
+
+def _dissolve_rings_keys(ck: np.ndarray, x0: int, y0: int):
+    """Ring-assembly body over sorted-unique local cell keys (shared
+    with :func:`_quad_counts_keys` by kernels that need both)."""
+    loops, la = _trace_loops_keys(ck, x0, y0)
     shells = [(lp, a) for lp, a in zip(loops, la) if a > 0]
     holes = [(lp, a) for lp, a in zip(loops, la) if a < 0]
 
@@ -177,9 +405,12 @@ def dissolve_pixels_rings(gx: np.ndarray, gy: np.ndarray):
     for hl, ha in holes:
         # attach to the smallest shell containing the hole's first vertex
         hx, hy = hl[0]
+        for p in polys:
+            if "sarr" not in p:
+                p["sarr"] = _loop_arrays(p["shell"])
         candidates = [
-            p for p in polys if _point_in_loop(hx + 1e-9, hy + 1e-9, p["shell"])
-            or _point_in_loop(hx - 1e-9, hy + 1e-9, p["shell"])
+            p for p in polys if _point_in_loop_np(hx + 1e-9, hy + 1e-9, p["sarr"])
+            or _point_in_loop_np(hx - 1e-9, hy + 1e-9, p["sarr"])
         ]
         if candidates:
             min(candidates, key=lambda p: p["area2"])["holes"].append((hl, ha))
@@ -263,23 +494,49 @@ def label_counts(gx: np.ndarray, gy: np.ndarray) -> tuple[int, int, int, int]:
     )
 
 
+#: popcount of a 4-bit quadrant mask (see quad_counts)
+_POP4 = np.array([bin(i).count("1") for i in range(16)], dtype=np.int8)
+
+
 def quad_counts(gx: np.ndarray, gy: np.ndarray) -> tuple[int, int, int]:
-    """Gray's 2×2 window counts over the cell set — one vectorized numpy
-    pass: (Q1, Q3, QD) with QD = diagonal two-pixel windows.  Euler
-    numbers follow as χ4 = (Q1 − Q3 + 2·QD)/4 = C4 − H8 and
+    """Gray's 2×2 window counts over the cell set — vertex-centric:
+    (Q1, Q3, QD) with QD = diagonal two-pixel windows.  Euler numbers
+    follow as χ4 = (Q1 − Q3 + 2·QD)/4 = C4 − H8 and
     χ8 = (Q1 − Q3 − 2·QD)/4 = C8 − H4 (property-tested against
-    :func:`label_counts` in tests/test_geometry_dissolve.py)."""
-    g, _, _ = _dense_grid(np.asarray(gx), np.asarray(gy))
-    p = np.pad(g, 1)
-    a = p[:-1, :-1]
-    b = p[:-1, 1:]
-    c = p[1:, :-1]
-    d = p[1:, 1:]
-    n = (a.astype(np.int8) + b.astype(np.int8)
-         + c.astype(np.int8) + d.astype(np.int8))
-    q1 = int((n == 1).sum())
-    q3 = int((n == 3).sum())
-    qd = int(((n == 2) & (a == d)).sum())
+    :func:`label_counts` in tests/test_geometry_dissolve.py).
+
+    Every occupied cell contributes a quadrant bit to exactly 4 vertex
+    windows (a=top-left…d=bottom-right of the 2×2); grouping the 4·n
+    (window, bit) pairs by packed window key and OR-reducing gives each
+    touched window's occupancy mask — O(n log n) in the CELL count,
+    where the former dense-grid form was O(bbox area) per band (a,b,c,d
+    grids + pad; ~23 bands re-scan each polygon's bbox).  Windows with
+    no occupied cell have mask 0 and contribute to no count, exactly as
+    in the grid form.  QD ⇔ mask ∈ {6, 9}: two occupied cells on a
+    diagonal (a·d = 9, b·c = 6) — identical to ``n==2 & (a==d)``.
+    """
+    ck, _, _ = _cell_keys(gx, gy)
+    return _quad_counts_keys(ck)
+
+
+def _quad_counts_keys(ck: np.ndarray) -> tuple[int, int, int]:
+    """Quad-count body over sorted-unique local cell keys."""
+    if len(ck) == 0:
+        return 0, 0, 0
+    # cell (cx,cy) is quadrant a of window (cy+1,cx+1), b of (cy+1,cx),
+    # c of (cy,cx+1), d of (cy,cx); window key packs (wy, wx)
+    row = 1 << _KSH
+    keys = np.concatenate((ck + row + 1, ck + row, ck + 1, ck))
+    vals = np.repeat(_QBITS, len(ck))
+    order = np.argsort(keys, kind="stable")
+    ks = keys[order]
+    vs = vals[order]
+    starts = np.flatnonzero(np.concatenate(([True], ks[1:] != ks[:-1])))
+    masks = np.bitwise_or.reduceat(vs, starts)
+    pc = _POP4[masks]
+    q1 = int((pc == 1).sum())
+    q3 = int((pc == 3).sum())
+    qd = int(((masks == 6) | (masks == 9)).sum())
     return q1, q3, qd
 
 

@@ -215,57 +215,24 @@ def _pixel_runs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """
     cols = [f.name for f in RUN_SCHEMA.fields]
     for pdf in batches:
-        tile_cache: dict[str, tuple] = {}
         poly_ids: list[np.ndarray] = []
         gys: list[np.ndarray] = []
         gx0s: list[np.ndarray] = []
         zs: list[np.ndarray] = []
-        for _, r in pdf.iterrows():
-            img = r["image_id"]
-            ctx = tile_cache.get(img)
-            if ctx is None:
-                grid = image_codec.decode(r["bytes"], r["fmt"], int(r["w"]), int(r["h"]))
-                h, w = grid.shape
-                if w != TILE_PX or h != TILE_PX:
-                    raise AssertionError(
-                        f"tile {img} is {w}x{h}, expected {TILE_PX}x{TILE_PX}"
-                    )
-                ul_x, ul_y, px = r["ul_x"], r["ul_y"], r["px"]
-                cxv = ul_x + (np.arange(w) + 0.5) * px    # centroid lons
-                cyv = ul_y - (np.arange(h) + 0.5) * px    # centroid lats
-                ctx = (grid, grid != NODATA, cxv, cyv,
-                       np.broadcast_to(cxv, (h, w)).ravel(),
-                       np.repeat(cyv, w),
-                       int(round((ul_x - WORLD_X0) / TILE_DEG)),
-                       int(round((WORLD_Y0 - ul_y) / TILE_DEG)))
-                tile_cache[img] = ctx
-            grid, valid, cxv, cyv, cxr, cyr, tx, ty = ctx
-            h, w = grid.shape
-            rx, ry = ring_to_arrays(r["ring"])
-            if _is_axis_rect(rx, ry):
-                x_in = (cxv >= rx.min()) & (cxv <= rx.max())
-                y_in = (cyv >= ry.min()) & (cyv <= ry.max())
-                mask = y_in[:, None] & x_in[None, :]
-            else:
-                mask = points_in_ring(cxr, cyr, rx, ry).reshape(h, w)
-            mask = mask & valid
-            if not mask.any():
-                continue
+        for pid, grid, mask, tx, ty in _iter_pair_masks(pdf):
             # run extraction: ±1 edges of each scanline's 0-padded mask
             d = np.diff(np.pad(mask, ((0, 0), (1, 1))).astype(np.int8), axis=1)
             ys, xs0 = np.nonzero(d == 1)          # run starts (inclusive)
             _, xs1 = np.nonzero(d == -1)          # run ends (exclusive)
-            pid = int(r["poly_id"])
-            base_y = ty * h
-            base_x = tx * w
+            h, w = grid.shape
             g32 = grid.astype(np.int32, copy=False)
             # fully vectorized run assembly (no per-run Python): masked
             # values in row-major order ARE the runs concatenated in
             # (y, x0) order, so one boolean gather + np.split at the
             # run-length boundaries rebuilds every run's z slice
             poly_ids.append(np.full(len(ys), pid, np.int64))
-            gys.append(base_y + ys.astype(np.int64))
-            gx0s.append(base_x + xs0.astype(np.int64))
+            gys.append(ty * h + ys.astype(np.int64))
+            gx0s.append(tx * w + xs0.astype(np.int64))
             zs.extend(np.split(g32[mask], np.cumsum(xs1 - xs0)[:-1]))
         empty = np.empty(0, np.int64)
         yield pd.DataFrame(
@@ -277,6 +244,108 @@ def _pixel_runs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
              "zs": pd.Series(zs, dtype=object)},
             columns=cols,
         )
+
+
+def _iter_pair_masks(pdf: pd.DataFrame):
+    """(poly_id, grid, covered-mask, tx, ty) per (polygon, tile) pair —
+    the shared rasterization core of the run/blob kernels.  Column zip
+    instead of ``iterrows`` (the per-row Series construction measurably
+    outweighed the 50×50 mask math); tile-keyed cache holds the decoded
+    grid and centroid vectors (they depend only on the tile)."""
+    tile_cache: dict[str, tuple] = {}
+    for img, data, fmt, w0, h0, ul_x, ul_y, px, ring, pid in zip(
+        pdf["image_id"], pdf["bytes"], pdf["fmt"], pdf["w"], pdf["h"],
+        pdf["ul_x"], pdf["ul_y"], pdf["px"], pdf["ring"], pdf["poly_id"],
+    ):
+        ctx = tile_cache.get(img)
+        if ctx is None:
+            grid = image_codec.decode(data, fmt, int(w0), int(h0))
+            h, w = grid.shape
+            if w != TILE_PX or h != TILE_PX:
+                raise AssertionError(
+                    f"tile {img} is {w}x{h}, expected {TILE_PX}x{TILE_PX}"
+                )
+            cxv = ul_x + (np.arange(w) + 0.5) * px    # centroid lons
+            cyv = ul_y - (np.arange(h) + 0.5) * px    # centroid lats
+            ctx = (grid, grid != NODATA, cxv, cyv,
+                   np.broadcast_to(cxv, (h, w)).ravel(),
+                   np.repeat(cyv, w),
+                   int(round((ul_x - WORLD_X0) / TILE_DEG)),
+                   int(round((WORLD_Y0 - ul_y) / TILE_DEG)))
+            tile_cache[img] = ctx
+        grid, valid, cxv, cyv, cxr, cyr, tx, ty = ctx
+        h, w = grid.shape
+        rx, ry = ring_to_arrays(ring)
+        if _is_axis_rect(rx, ry):
+            x_in = (cxv >= rx.min()) & (cxv <= rx.max())
+            y_in = (cyv >= ry.min()) & (cyv <= ry.max())
+            mask = y_in[:, None] & x_in[None, :]
+        else:
+            mask = points_in_ring(cxr, cyr, rx, ry).reshape(h, w)
+        mask = mask & valid
+        if not mask.any():
+            continue
+        yield int(pid), grid, mask, tx, ty
+
+
+# Opaque-blob run transfer for the dissolve pipeline: one row per
+# (polygon, tile) pair, runs packed into a single binary column —
+# int32 n_runs, int32 gy[n], int32 gx0[n], int32 len[n], int16 z[...]
+# (little-endian), plus scalar per-pair min/max for the stats agg.
+# z values never become JVM arrays: binary crosses Arrow as one buffer
+# memcpy, the cache stores ~9k blob rows instead of ~300k array rows,
+# and the stats scan reads 2 pruned int columns instead of re-folding
+# every array (guide §8: move heavy bytes once, decide on small rows).
+RUN_BLOB_SCHEMA = T.StructType(
+    [
+        T.StructField("poly_id", T.LongType()),
+        T.StructField("blob", T.BinaryType()),
+        T.StructField("run_min", T.IntegerType()),
+        T.StructField("run_max", T.IntegerType()),
+    ]
+)
+
+
+def _pixel_run_blobs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    cols = [f.name for f in RUN_BLOB_SCHEMA.fields]
+    for pdf in batches:
+        pids: list[int] = []
+        blobs: list[bytes] = []
+        mins: list[int] = []
+        maxs: list[int] = []
+        for pid, grid, mask, tx, ty in _iter_pair_masks(pdf):
+            d = np.diff(np.pad(mask, ((0, 0), (1, 1))).astype(np.int8), axis=1)
+            ys, xs0 = np.nonzero(d == 1)
+            _, xs1 = np.nonzero(d == -1)
+            h, w = grid.shape
+            zcat = grid[mask].astype("<i2", copy=False)
+            head = np.empty(1 + 3 * len(ys), dtype="<i4")
+            head[0] = len(ys)
+            head[1:1 + len(ys)] = ty * h + ys
+            head[1 + len(ys):1 + 2 * len(ys)] = tx * w + xs0
+            head[1 + 2 * len(ys):] = xs1 - xs0
+            pids.append(pid)
+            blobs.append(head.tobytes() + zcat.tobytes())
+            mins.append(int(zcat.min()))
+            maxs.append(int(zcat.max()))
+        yield pd.DataFrame(
+            {"poly_id": np.asarray(pids, dtype=np.int64),
+             "blob": pd.Series(blobs, dtype=object),
+             "run_min": np.asarray(mins, dtype=np.int32),
+             "run_max": np.asarray(maxs, dtype=np.int32)},
+            columns=cols,
+        )
+
+
+def polygon_pixel_run_blobs(polygons_df: DataFrame, images_df: DataFrame,
+                            index_strategy: str = "broadcast",
+                            spread: bool = True) -> DataFrame:
+    """Covered-pixel runs as per-(polygon, tile) packed blobs —
+    the dissolve pipeline's transfer/cache format (see RUN_BLOB_SCHEMA)."""
+    idx = tile_index(images_df, with_bytes=True)
+    j = polygon_tile_join(polygons_df.select("poly_id", "ring"), idx,
+                          index_strategy=index_strategy, spread=spread)
+    return j.mapInPandas(_pixel_run_blobs, schema=RUN_BLOB_SCHEMA)
 
 
 def polygon_pixel_runs(polygons_df: DataFrame, images_df: DataFrame,

@@ -123,3 +123,42 @@ def test_quad_counts_match_labeling():
         n_shells = len(polys)
         n_holes = sum(len(r) - 1 for r in polys)
         assert c8 - h4 <= n_shells - n_holes <= c4 - h8
+
+
+def test_batch_invariants_matches_per_band():
+    """The r6 batched invariants core (one vectorized pass over many
+    bands, min-label doubling instead of the per-edge walk) must equal
+    the per-band ring path on random cell sets — including donut bands,
+    which exercise the negative-cycle (hole) fallback flag."""
+    from openelevationservice_spark.functions.dissolve import batch_invariants
+    from openelevationservice_spark.operators.color import _invariants_group
+
+    rng = np.random.default_rng(99)
+    bands = []
+    for _ in range(60):
+        h, w = rng.integers(1, 14, 2)
+        g = rng.random((h, w)) < rng.uniform(0.2, 0.9)
+        if not g.any():
+            continue
+        gy, gx = np.nonzero(g)
+        off = rng.integers(0, 500, 2)
+        bands.append((gx + off[0], gy + off[1]))
+    # a donut: 5x5 block minus center (guaranteed hole)
+    yy, xx = np.mgrid[0:5, 0:5]
+    m = np.ones((5, 5), bool); m[2, 2] = False
+    gy, gx = np.nonzero(m)
+    bands.append((gx + 40, gy + 17))
+
+    band = np.repeat(np.arange(len(bands)), [len(b[0]) for b in bands])
+    gx = np.concatenate([b[0] for b in bands]).astype(np.int64)
+    gy = np.concatenate([b[1] for b in bands]).astype(np.int64)
+    seg = np.concatenate(([0], np.cumsum([len(b[0]) for b in bands])))
+    sh, ho, a2, q1, q3, qd, neg = batch_invariants(band, gx, gy, len(bands), seg)
+    assert neg[-1]  # the donut's hole flags the fallback
+    for b in range(len(bands)):
+        r = _invariants_group(7, 11, gx[seg[b]:seg[b + 1]], gy[seg[b]:seg[b + 1]])
+        e4 = (int(q1[b]) - int(q3[b]) + 2 * int(qd[b])) // 4
+        e8 = (int(q1[b]) - int(q3[b]) - 2 * int(qd[b])) // 4
+        assert r["euler4"] == e4 and r["euler8"] == e8
+        if not neg[b]:
+            assert r["area_px"] == a2[b] // 2
