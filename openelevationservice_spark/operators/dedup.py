@@ -86,11 +86,41 @@ def minhash_signature(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
 
     sig[i] = min over shingles of (a_i * md5prefix(shingle) + b_i) mod
     2^31-1 (see module docstring for the family).  MIN is
-    duplicate-invariant, so no DISTINCT (and no extra shuffle) is needed
-    over the exploded shingles; the only exchange is the groupBy(doc
-    id), and the n mins are computed as n parallel partial aggregates
-    (map-side combine) over one shared base hash per shingle.
+    duplicate-invariant, so no DISTINCT is needed over the shingles.
+
+    Default shape (r6): the shingle array never explodes — base hashes
+    are one ``transform`` over the per-doc shingle array, the n mins
+    are ``array_min`` folds, and the signature pipeline has ZERO
+    exchanges (guide §2.4: the former explode → groupBy(doc) shuffle
+    removed outright; measured 1.48 → 1.24 s at the bench corpus,
+    identical signatures).  Higher-order functions evaluate interpreted,
+    but md5 dominates the per-shingle cost in either shape.  The
+    explode + map-side-combine twin (codegen md5, one exchange) is kept
+    as :func:`minhash_signature_explode` and asserted equal in tests.
+    Docs with no shingle produce no row in either shape.
     """
+    xs = F.transform(word_shingles(F.col(text_col), shingle_n),
+                     lambda s: shingle_base_hash(s))
+    # staged select: _xs materializes once as a named attribute (lambda
+    # substitution would re-inline the md5 subtree into every min fold)
+    d = df.select(F.col(id_col), xs.alias("_xs")).filter(F.size("_xs") >= 1)
+    mins = [
+        F.array_min(F.transform(
+            "_xs", lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(MERSENNE31)
+        )).alias(f"h{i}")
+        for i, (a, b) in enumerate(minhash_perm_consts(n_hashes))
+    ]
+    d = d.select(id_col, *mins)
+    return d.select(id_col, F.array(*[F.col(f"h{i}") for i in range(n_hashes)]).alias("sig"))
+
+
+def minhash_signature_explode(df: DataFrame, id_col: str = "doc_id",
+                              text_col: str = "text",
+                              n_hashes: int = 8, shingle_n: int = 3) -> DataFrame:
+    """Explode + groupBy twin of :func:`minhash_signature` (codegen md5
+    per exploded shingle row, n parallel partial-agg mins, one
+    exchange) — the right shape when per-core CPU, not exchange count,
+    is the binding constraint."""
     sh = df.select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("sh")
     )
@@ -345,7 +375,8 @@ def connected_components(pairs: DataFrame, ids: DataFrame,
                          id_col: str = "doc_id",
                          max_iters: int = 50,
                          driver_max_pairs: int = CC_DRIVER_MAX_PAIRS,
-                         algorithm: str = "label") -> DataFrame:
+                         algorithm: str = "label",
+                         with_sizes: bool = False) -> DataFrame:
     """Duplicate-cluster assignment: (id, rep_id = min id of its
     connected component) over the near-dup pair graph — the step that
     turns candidate PAIRS into dedup GROUPS (keep one representative
@@ -385,6 +416,14 @@ def connected_components(pairs: DataFrame, ids: DataFrame,
     it owned dedup_clusters' 2→8-core efficiency, BENCH/SCALE.md).
     ``driver_max_pairs=0`` forces the distributed loop.  Both paths
     produce the identical (id, rep_id) fixpoint.
+
+    ``with_sizes=True`` adds ``cluster_size`` (count of the id's
+    component, singletons = 1).  On the fast path the sizes are a
+    Counter over the driver-resident labels and ride the SAME broadcast
+    table — no extra exchange; the distributed paths fall back to one
+    window over ``rep_id`` (the r5 shape).  Values are identical either
+    way: every cluster member is an edge endpoint, so counting label
+    occurrences counts the component.
     """
     nodes = ids.select(F.col(id_col).alias("_v")).distinct()
     # Materialize the pair list ONCE before symmetrizing: the union
@@ -412,6 +451,23 @@ def connected_components(pairs: DataFrame, ids: DataFrame,
             if own_p:
                 p.unpersist()
         id_type = pairs.schema["id_a"].dataType
+        if with_sizes:
+            from collections import Counter
+
+            csz = Counter(lbl.values())
+            labels = pairs.sparkSession.createDataFrame(
+                [(v, l, csz[l]) for v, l in lbl.items()],
+                T.StructType([T.StructField("_v", id_type),
+                              T.StructField("_lbl", id_type),
+                              T.StructField("_sz", T.LongType())]),
+            )
+            return (
+                nodes.join(F.broadcast(labels), "_v", "left")
+                .select(F.col("_v").alias(id_col),
+                        F.coalesce(F.col("_lbl"), F.col("_v")).alias("rep_id"),
+                        F.coalesce(F.col("_sz"), F.lit(1).cast("long"))
+                        .alias("cluster_size"))
+            )
         labels = pairs.sparkSession.createDataFrame(
             list(lbl.items()),
             T.StructType([T.StructField("_v", id_type),
@@ -428,11 +484,12 @@ def connected_components(pairs: DataFrame, ids: DataFrame,
         finally:
             if own_p:
                 p.unpersist()
-        return (
+        res = (
             nodes.join(labels, "_v", "left")
             .select(F.col("_v").alias(id_col),
                     F.coalesce(F.col("_lbl"), F.col("_v")).alias("rep_id"))
         )
+        return _with_window_sizes(res, id_col) if with_sizes else res
     if algorithm != "label":
         raise ValueError(f"unknown connected_components algorithm {algorithm!r}")
     # both directions; propagation includes the node's own label
@@ -486,10 +543,23 @@ def connected_components(pairs: DataFrame, ids: DataFrame,
             p.unpersist()
     # singletons (no edges) are their own representative; one left join
     # against the converged endpoint labels reattaches them
-    return (
+    res = (
         nodes.join(labels, "_v", "left")
         .select(F.col("_v").alias(id_col),
                 F.coalesce(F.col("_lbl"), F.col("_v")).alias("rep_id"))
+    )
+    return _with_window_sizes(res, id_col) if with_sizes else res
+
+
+def _with_window_sizes(cc: DataFrame, id_col: str) -> DataFrame:
+    """cluster_size via a window over rep_id — the distributed-path
+    shape: ONE hash exchange, no driver-side materialization.  (A
+    broadcast of the sizes table would bound the operator by driver
+    memory — the sizes table has ~one row per document at low dup
+    rates, i.e. it grows with the corpus, not the dup structure.)"""
+    return cc.select(
+        id_col, "rep_id",
+        F.count(F.lit(1)).over(Window.partitionBy("rep_id")).alias("cluster_size"),
     )
 
 
@@ -502,14 +572,9 @@ def dedup_clusters(df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     representative.  ``driver_max_pairs`` passes through to
     :func:`connected_components` (0 forces the distributed loop)."""
     pairs = lsh_candidate_pairs(df, id_col, text_col, n_hashes, bands, shingle_n)
-    cc = connected_components(pairs, df.select(id_col), id_col,
-                              driver_max_pairs=driver_max_pairs)
-    # cluster_size via a window over rep_id: ONE hash exchange, no
-    # driver-side materialization.  (A broadcast of the sizes table
-    # would bound the operator by driver memory — the sizes table has
-    # ~one row per document at low dup rates, i.e. it grows with the
-    # corpus, not with the dup structure.)
-    return cc.select(
-        id_col, "rep_id",
-        F.count(F.lit(1)).over(Window.partitionBy("rep_id")).alias("cluster_size"),
-    )
+    # sizes ride the CC result: on the driver fast path they come off
+    # the same broadcast labels table (no window exchange+sort at all);
+    # the distributed paths keep the one-exchange window shape
+    return connected_components(pairs, df.select(id_col), id_col,
+                                driver_max_pairs=driver_max_pairs,
+                                with_sizes=True)

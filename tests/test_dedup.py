@@ -212,3 +212,15 @@ def test_connected_components_unpersists_on_nonconvergence(spark, monkeypatch):
     with pytest.raises(RuntimeError, match="did not converge"):
         dedup.connected_components(pairs, ids, max_iters=2, driver_max_pairs=0)
     assert balance and all(v == 0 for v in balance.values())
+
+
+def test_minhash_signature_twins_equal(spark, docs):
+    """The exchange-free array-resident signature (r6 default) must be
+    frame-identical to the explode + groupBy twin."""
+    from openelevationservice_spark.operators.dedup import (
+        minhash_signature, minhash_signature_explode)
+
+    a = minhash_signature(docs, n_hashes=8).orderBy("doc_id").toPandas()
+    b = minhash_signature_explode(docs, n_hashes=8).orderBy("doc_id").toPandas()
+    assert a["doc_id"].tolist() == b["doc_id"].tolist()
+    assert [list(x) for x in a["sig"]] == [list(x) for x in b["sig"]]
