@@ -176,12 +176,16 @@ def _pixel_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 # codegen'd posexplode.  The per-pixel Arrow→InternalRow conversion was
 # the operator's scaling limiter (allocation-bound in the shared JVM
 # heap); runs average tens of pixels, cutting that boundary ~40×.
+# zs is array<smallint>: the SRTM-like source grid is int16, so the
+# narrower element halves the Arrow buffer, the JVM array copies and
+# the cache bytes (guide §2.3 "narrower types"); consumers cast the
+# exploded value back to int, so downstream schemas are unchanged.
 RUN_SCHEMA = T.StructType(
     [
         T.StructField("poly_id", T.LongType()),
         T.StructField("gy", T.LongType()),
         T.StructField("gx0", T.LongType()),
-        T.StructField("zs", T.ArrayType(T.IntegerType())),
+        T.StructField("zs", T.ArrayType(T.ShortType())),
     ]
 )
 
@@ -225,7 +229,6 @@ def _pixel_runs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             ys, xs0 = np.nonzero(d == 1)          # run starts (inclusive)
             _, xs1 = np.nonzero(d == -1)          # run ends (exclusive)
             h, w = grid.shape
-            g32 = grid.astype(np.int32, copy=False)
             # fully vectorized run assembly (no per-run Python): masked
             # values in row-major order ARE the runs concatenated in
             # (y, x0) order, so one boolean gather + np.split at the
@@ -233,7 +236,7 @@ def _pixel_runs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             poly_ids.append(np.full(len(ys), pid, np.int64))
             gys.append(ty * h + ys.astype(np.int64))
             gx0s.append(tx * w + xs0.astype(np.int64))
-            zs.extend(np.split(g32[mask], np.cumsum(xs1 - xs0)[:-1]))
+            zs.extend(np.split(grid[mask], np.cumsum(xs1 - xs0)[:-1]))
         empty = np.empty(0, np.int64)
         yield pd.DataFrame(
             {"poly_id": np.concatenate(poly_ids) if poly_ids else empty,
@@ -371,8 +374,8 @@ def runs_stats(runs_df: DataFrame) -> DataFrame:
                           lambda acc, x: acc + x.cast("long"))
     per_run = runs_df.select(
         "poly_id",
-        F.array_min("zs").alias("run_min"),
-        F.array_max("zs").alias("run_max"),
+        F.array_min("zs").cast("int").alias("run_min"),
+        F.array_max("zs").cast("int").alias("run_max"),
         F.size("zs").cast("long").alias("run_n"),
         run_sum.alias("run_sum"),
     )
@@ -406,7 +409,7 @@ def polygon_pixels(polygons_df: DataFrame, images_df: DataFrame,
             "poly_id",
             (F.col("gx0") + F.col("pos")).alias("gx"),
             "gy",
-            "z",
+            F.col("z").cast("int").alias("z"),
         )
         return with_pixel_coords(px)
     idx = tile_index(images_df, with_bytes=True)
