@@ -380,7 +380,8 @@ def connected_components(pairs: DataFrame, ids: DataFrame,
                          max_iters: int = 50,
                          driver_max_pairs: int = CC_DRIVER_MAX_PAIRS,
                          algorithm: str = "label",
-                         with_sizes: bool = False) -> DataFrame:
+                         with_sizes: bool = False,
+                         ids_unique: bool = False) -> DataFrame:
     """Duplicate-cluster assignment: (id, rep_id = min id of its
     connected component) over the near-dup pair graph — the step that
     turns candidate PAIRS into dedup GROUPS (keep one representative
@@ -421,6 +422,13 @@ def connected_components(pairs: DataFrame, ids: DataFrame,
     ``driver_max_pairs=0`` forces the distributed loop.  Both paths
     produce the identical (id, rep_id) fixpoint.
 
+    ``ids_unique=True`` skips the defensive ``distinct`` over ``ids``
+    — callers whose id column is a primary key by contract (a document
+    corpus) save a full exchange + two aggregate stages (measured
+    ~0.6 s of pure small-stage latency at the bench corpus; at scale it
+    is a whole shuffle of the id table).  With duplicate ids and the
+    flag set, output rows duplicate exactly as the input does.
+
     ``with_sizes=True`` adds ``cluster_size`` (count of the id's
     component, singletons = 1).  On the fast path the sizes are a
     Counter over the driver-resident labels and ride the SAME broadcast
@@ -429,7 +437,9 @@ def connected_components(pairs: DataFrame, ids: DataFrame,
     way: every cluster member is an edge endpoint, so counting label
     occurrences counts the component.
     """
-    nodes = ids.select(F.col(id_col).alias("_v")).distinct()
+    nodes = ids.select(F.col(id_col).alias("_v"))
+    if not ids_unique:
+        nodes = nodes.distinct()
     # Materialize the pair list ONCE before symmetrizing: the union
     # below scans the ``pairs`` subtree twice (two different
     # projections — no exchange reuse), which would compute the whole
@@ -579,6 +589,8 @@ def dedup_clusters(df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     # sizes ride the CC result: on the driver fast path they come off
     # the same broadcast labels table (no window exchange+sort at all);
     # the distributed paths keep the one-exchange window shape
+    # ids_unique: the corpus contract is one row per document, so the
+    # defensive distinct over node ids is a no-op exchange here
     return connected_components(pairs, df.select(id_col), id_col,
                                 driver_max_pairs=driver_max_pairs,
-                                with_sizes=True)
+                                with_sizes=True, ids_unique=True)
