@@ -275,25 +275,29 @@ def _band_subrun_kernel_blob(num_ranges: int):
         for pdf in batches:
             if not len(pdf):
                 continue
-            pid_l, gy_l, gx0_l, ln_l, z_l, mn_l, mx_l = [], [], [], [], [], [], []
-            for pid, blob, mnz, mxz in zip(pdf["poly_id"], pdf["blob"],
-                                           pdf["min_z"], pdf["max_z"]):
+            # per-row work is VIEWS only (3 frombuffer slices); every
+            # astype/expansion happens once per batch over the
+            # concatenated arrays — the per-pair alloc loop was the
+            # measured low-core cost of the blob path
+            gy_l, gx0_l, ln_l, z_l, n_runs = [], [], [], [], []
+            for blob in pdf["blob"]:
                 n = int(np.frombuffer(blob, dtype="<i4", count=1)[0])
                 head = np.frombuffer(blob, dtype="<i4", count=1 + 3 * n)
-                gy_l.append(head[1:1 + n].astype(np.int64))
-                gx0_l.append(head[1 + n:1 + 2 * n].astype(np.int64))
-                ln = head[1 + 2 * n:].astype(np.int64)
-                ln_l.append(ln)
+                gy_l.append(head[1:1 + n])
+                gx0_l.append(head[1 + n:1 + 2 * n])
+                ln_l.append(head[1 + 2 * n:])
                 z_l.append(np.frombuffer(blob, dtype="<i2",
-                                         offset=4 * (1 + 3 * n)).astype(np.int64))
-                pid_l.append(np.full(n, pid, dtype=np.int64))
-                mn_l.append(np.full(n, mnz, dtype=np.float64))
-                mx_l.append(np.full(n, mxz, dtype=np.float64))
+                                         offset=4 * (1 + 3 * n)))
+                n_runs.append(n)
+            n_runs = np.asarray(n_runs, dtype=np.int64)
             out = _subrun_partial_frame(
-                np.concatenate(pid_l), np.concatenate(gy_l),
-                np.concatenate(gx0_l), np.concatenate(ln_l),
-                np.concatenate(z_l), np.concatenate(mn_l),
-                np.concatenate(mx_l), num_ranges)
+                np.repeat(pdf["poly_id"].to_numpy(), n_runs),
+                np.concatenate(gy_l).astype(np.int64),
+                np.concatenate(gx0_l).astype(np.int64),
+                np.concatenate(ln_l).astype(np.int64),
+                np.concatenate(z_l).astype(np.int64),
+                np.repeat(pdf["min_z"].to_numpy(), n_runs),
+                np.repeat(pdf["max_z"].to_numpy(), n_runs), num_ranges)
             if out is not None:
                 yield out
 
