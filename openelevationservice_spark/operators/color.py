@@ -98,8 +98,13 @@ def _dissolve_group(poly_id: int, hb: int, gx: np.ndarray,
 
 
 def _dissolve_partitions(df: DataFrame) -> int:
-    """Partition count for the dissolve exchange: 4 tasks per core."""
-    return df.sparkSession.sparkContext.defaultParallelism * 4
+    """Partition count for the dissolve exchange: 2 tasks per core —
+    cores-proportional (never volume-tuned).  r6 sweep at bench volume,
+    interleaved minima: 4× 5.90 s, 2× 5.19 s, 1× 8.56 s (straggler
+    tail) — with the batched invariants kernel the per-task python
+    dispatch outweighs 4×'s extra balance slack, while 1× loses the
+    skew headroom outright."""
+    return df.sparkSession.sparkContext.defaultParallelism * 2
 
 
 #: gx/gy pack base for the band-cell transfer (gxy = gx * 2^32 + gy);

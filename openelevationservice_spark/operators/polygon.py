@@ -64,9 +64,24 @@ def polygon_tile_join(polygons_df: DataFrame, index_df: DataFrame,
                       spread: bool = True) -> DataFrame:
     """Polygon × tile join via cover-cell explode (SURVEY.md §2.3 J3).
 
-    ``spread=False`` skips the pre-join repartition — right for
-    interactive single-polygon requests (the API layer sets it), where
-    an extra full exchange into mostly-empty tasks only adds latency.
+    ``index_strategy="broadcast"`` (default, r6 orientation) broadcasts
+    the exploded (polygon, cell) pairs — rings + ids, bounded by the
+    query batch — INTO the tile scan.  vs the former
+    broadcast-the-tile-bytes orientation this removes the pair-side
+    spread exchange, shrinks the broadcast ~5× (rings, not pixel
+    payloads), and gives the rasterizer tile-locality (each tile's
+    bytes reach exactly the partition that scans them, each decoded
+    once): measured 2.16 → 0.98 s for the bench blob build, identical
+    output multiset.  It is also the orientation that survives a
+    10^12-image world — the tile table can never be broadcast, a
+    request's polygons always can; batches past broadcast size use
+    ``index_strategy="shuffle"`` (both sides exchanged on cell_id).
+
+    ``spread=False`` skips the shuffle path's pre-join repartition —
+    right for interactive single-polygon requests (the API layer sets
+    it), where an extra full exchange into mostly-empty tasks only
+    adds latency.  The broadcast orientation never needs the spread:
+    kernel parallelism comes from the tile-table scan.
     """
     p = polygons_with_bbox(polygons_df)
     cx0 = F.floor((F.col("min_x") - F.lit(WORLD_X0)) / F.lit(TILE_DEG)).cast("long")
@@ -78,17 +93,18 @@ def polygon_tile_join(polygons_df: DataFrame, index_df: DataFrame,
         .withColumn("cy", F.explode(F.sequence(cy0, cy1)))
         .withColumn("cell_id", linear_id_col(F.col("cx"), F.col("cy")))
     )
-    # spread the (polygon, cell) pairs BEFORE the join: query tables often
-    # arrive as one small parquet file (one scan task), which would funnel
-    # every pixel-mask kernel invocation into a single python worker.
-    # Shuffling here moves only rings + ids — the tile bytes join in after
-    # and never reshuffle.
+    idx = index_df.select("cell_id", "image_id", "bytes", "fmt", "ul_x", "ul_y", "px", "w", "h")
+    if index_strategy == "broadcast":
+        return idx.join(F.broadcast(p.select("poly_id", "ring", "cell_id")),
+                        "cell_id", "inner")
+    # shuffle path: spread the (polygon, cell) pairs BEFORE the join —
+    # query tables often arrive as one small parquet file (one scan
+    # task), which would funnel every pixel-mask kernel invocation into
+    # a single python worker.  Shuffling here moves only rings + ids —
+    # the tile bytes join in after.
     if spread:
         spark = polygons_df.sparkSession
         p = p.repartition(spark.sparkContext.defaultParallelism * 2, "poly_id", "cell_id")
-    idx = index_df.select("cell_id", "image_id", "bytes", "fmt", "ul_x", "ul_y", "px", "w", "h")
-    if index_strategy == "broadcast":
-        idx = F.broadcast(idx)
     return p.join(idx, "cell_id", "inner")
 
 
