@@ -22,6 +22,9 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -81,41 +84,96 @@ def word_shingles(text: Column, n: int) -> Column:
 
 
 def minhash_signature(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-                      n_hashes: int = 8, shingle_n: int = 3) -> DataFrame:
+                      n_hashes: int = 8, shingle_n: int = 3,
+                      impl: str = "kernel") -> DataFrame:
     """(id, sig: array<bigint>) — per-doc MinHash signature.
 
     sig[i] = min over shingles of (a_i * md5prefix(shingle) + b_i) mod
     2^31-1 (see module docstring for the family).  MIN is
     duplicate-invariant, so no DISTINCT is needed over the shingles.
+    Docs with no shingle produce no row in every shape.
 
-    Default shape (r6): the shingle array never explodes — base hashes
-    are one ``transform`` over the per-doc shingle array, the n mins
-    are ``array_min`` folds, and the signature pipeline has ZERO
-    exchanges (guide §2.4: the former explode → groupBy(doc) shuffle
-    removed outright; measured 1.48 → 1.24 s at the bench corpus,
-    identical signatures).  Higher-order functions evaluate interpreted,
-    but md5 dominates the per-shingle cost in either shape.  The
-    explode + map-side-combine twin (codegen md5, one exchange) is kept
-    as :func:`minhash_signature_explode` and asserted equal in tests.
-    Docs with no shingle produce no row in either shape.
+    ``impl="kernel"`` (default, r6): shingling + hashing + the n mins
+    run in an Arrow kernel — python ``str.split``/``" ".join`` +
+    ``hashlib.md5`` per shingle and one ``np.minimum.reduceat`` per
+    hash function (guide §4.2: the Column shapes evaluate the shingle
+    construction and md5 through interpreted higher-order functions at
+    ~an order of magnitude more per-shingle cost; measured full-LSH
+    2.58 → 1.51 s at a ×16 corpus, gap growing with volume).
+    Exactness: python ``split(" ")`` keeps leading/empty/trailing
+    tokens exactly like Spark's regex split with limit −1, ``join``
+    matches ``concat_ws`` over non-null strings, and the int64
+    permutation arithmetic is overflow-audited (module docstring) —
+    signatures are frame-identical across all three impls (tested).
+
+    ``impl="arrays"`` is the exchange-free pure-Column twin (base
+    hashes + mins as array transforms, zero exchanges);
+    :func:`minhash_signature_explode` the explode + map-side-combine
+    twin (codegen md5, one exchange) whose shape mirrors the SQL
+    oracle.
     """
-    xs = F.transform(word_shingles(F.col(text_col), shingle_n),
-                     lambda s: shingle_base_hash(s))
-    # Shingle-bearing docs filter on the RAW column (size(words) >= n ⟺
-    # the shingle array is nonempty): a filter on the derived _xs column
-    # would be pushed below the projection by substitution, evaluating
-    # the whole md5-transform subtree twice per row (the guide §4.4
-    # duplication, expression-level — measured 2× on the bench corpus).
-    d = (df.filter(F.size(F.split(F.col(text_col), " ")) >= shingle_n)
-         .select(F.col(id_col), xs.alias("_xs")))
-    mins = [
-        F.array_min(F.transform(
-            "_xs", lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(MERSENNE31)
-        )).alias(f"h{i}")
-        for i, (a, b) in enumerate(minhash_perm_consts(n_hashes))
-    ]
-    d = d.select(id_col, *mins)
-    return d.select(id_col, F.array(*[F.col(f"h{i}") for i in range(n_hashes)]).alias("sig"))
+    if impl == "arrays":
+        xs = F.transform(word_shingles(F.col(text_col), shingle_n),
+                         lambda s: shingle_base_hash(s))
+        # Shingle-bearing docs filter on the RAW column (size(words) >=
+        # n ⟺ the shingle array is nonempty): a filter on the derived
+        # _xs column would be pushed below the projection by
+        # substitution, evaluating the whole md5-transform subtree
+        # twice per row (the guide §4.4 duplication, expression-level —
+        # measured 2× on the bench corpus).
+        d = (df.filter(F.size(F.split(F.col(text_col), " ")) >= shingle_n)
+             .select(F.col(id_col), xs.alias("_xs")))
+        mins = [
+            F.array_min(F.transform(
+                "_xs", lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(MERSENNE31)
+            )).alias(f"h{i}")
+            for i, (a, b) in enumerate(minhash_perm_consts(n_hashes))
+        ]
+        d = d.select(id_col, *mins)
+        return d.select(id_col, F.array(*[F.col(f"h{i}")
+                                          for i in range(n_hashes)]).alias("sig"))
+    if impl != "kernel":
+        raise ValueError(f"unknown minhash_signature impl {impl!r}")
+    consts = minhash_perm_consts(n_hashes)
+    a_vec = np.array([a for a, _ in consts], dtype=np.int64)
+    b_vec = np.array([b for _, b in consts], dtype=np.int64)
+    out_schema = T.StructType([
+        T.StructField(id_col, df.schema[id_col].dataType),
+        T.StructField("sig", T.ArrayType(T.LongType())),
+    ])
+
+    def kernel(batches):
+        md5 = hashlib.md5
+        for pdf in batches:
+            ids: list = []
+            hashes: list[int] = []
+            counts: list[int] = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    continue
+                words = text.split(" ")
+                m = len(words) - (shingle_n - 1)
+                if m < 1:
+                    continue
+                hashes.extend(
+                    int(md5(" ".join(words[k:k + shingle_n]).encode("utf-8"))
+                        .hexdigest()[:8], 16)
+                    for k in range(m)
+                )
+                ids.append(did)
+                counts.append(m)
+            if not ids:
+                continue
+            x = np.asarray(hashes, dtype=np.int64)
+            starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+            sigs = np.empty((len(ids), n_hashes), dtype=np.int64)
+            for i in range(n_hashes):
+                # overflow audit in the module docstring: a*x + b < 2^63
+                sigs[:, i] = np.minimum.reduceat(
+                    (a_vec[i] * x + b_vec[i]) % MERSENNE31, starts)
+            yield pd.DataFrame({id_col: pd.Series(ids), "sig": list(sigs)})
+
+    return df.select(id_col, text_col).mapInPandas(kernel, out_schema)
 
 
 def minhash_signature_explode(df: DataFrame, id_col: str = "doc_id",

@@ -215,12 +215,36 @@ def test_connected_components_unpersists_on_nonconvergence(spark, monkeypatch):
 
 
 def test_minhash_signature_twins_equal(spark, docs):
-    """The exchange-free array-resident signature (r6 default) must be
-    frame-identical to the explode + groupBy twin."""
+    """All three signature impls — the r6 Arrow kernel (default), the
+    exchange-free array-resident Column shape, and the explode +
+    groupBy twin — must be frame-identical."""
     from openelevationservice_spark.operators.dedup import (
         minhash_signature, minhash_signature_explode)
 
     a = minhash_signature(docs, n_hashes=8).orderBy("doc_id").toPandas()
     b = minhash_signature_explode(docs, n_hashes=8).orderBy("doc_id").toPandas()
+    c = minhash_signature(docs, n_hashes=8, impl="arrays").orderBy("doc_id").toPandas()
+    assert a["doc_id"].tolist() == b["doc_id"].tolist() == c["doc_id"].tolist()
+    assert ([list(x) for x in a["sig"]] == [list(x) for x in b["sig"]]
+            == [list(x) for x in c["sig"]])
+
+
+def test_minhash_signature_kernel_edge_texts(spark):
+    """Kernel/Column parity on edge inputs: empty text, consecutive and
+    trailing spaces (Spark regex split with limit -1 vs python
+    str.split), sub-shingle docs, null text."""
+    import pandas as pd
+
+    from openelevationservice_spark.operators.dedup import (
+        minhash_signature, minhash_signature_explode)
+
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5, 6],
+        "text": ["", "a b", "a  b c ", " leading space here", None,
+                 "one two three four"],
+    })
+    df = spark.createDataFrame(pdf, schema="doc_id long, text string")
+    a = minhash_signature(df, n_hashes=4).orderBy("doc_id").toPandas()
+    b = minhash_signature_explode(df, n_hashes=4).orderBy("doc_id").toPandas()
     assert a["doc_id"].tolist() == b["doc_id"].tolist()
     assert [list(x) for x in a["sig"]] == [list(x) for x in b["sig"]]
